@@ -1,0 +1,15 @@
+import os
+
+# Tests run on CPU with a virtual 8-device mesh so sharding paths are
+# exercised without TPU hardware; f64 is enabled for golden-parity checks
+# against the reference's double-precision committed trajectories.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
