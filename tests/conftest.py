@@ -1,9 +1,7 @@
 import os
 
-# Tests run on CPU with a virtual 8-device mesh so sharding paths are
-# exercised without TPU hardware; f64 is enabled for golden-parity checks
-# against the reference's double-precision committed trajectories.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Request a virtual 8-device CPU mesh before any backend initializes, so the
+# sharding tests exercise multi-device paths without TPU hardware.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,4 +10,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# The sandbox's sitecustomize force-registers the axon TPU platform and pins
+# jax_platforms before user code runs; flip it back to CPU for unit tests
+# (f64 golden-parity checks need the CPU backend anyway).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
