@@ -1,0 +1,105 @@
+"""Factor-graph building blocks, batched per factor type.
+
+Design translation (SURVEY.md section 7): where the reference instantiates
+one virtual-dispatch optimizer object per factor, each owning a quadrature
+instance and OpenMP-looping over the factor vector
+(gvibase/GVIFactorizedBase.h:36-248, ngd/NGD-GH-impl.h:33-51), the TPU design
+groups all factors of one *type* (same cost function, same per-factor
+dimension) into a single batch whose parameters carry a leading ``K`` axis.
+Everything downstream is one ``vmap``/einsum over that axis.
+
+A factor spans ``nb`` consecutive trajectory states of dimension ``s``
+(``nb = 1`` for anchors/collision costs, ``nb = 2`` for GP priors between
+neighbors — the reference's ``TrajectoryBlock`` mapping,
+helpers/MatrixHelper.h:119-161); its local dim is ``d = nb * s``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..quadrature import get_rule
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class NonlinearFactorBatch:
+    """K same-type nonlinear factors integrated by sigma-point quadrature.
+
+    ``cost_fn(x [d], params_k) -> scalar`` is the negative log potential
+    ``psi_k``; ``params`` is a pytree whose leaves have a leading K axis
+    (or None).  ``nodes``/``weights`` are the shared zero-mean quadrature
+    rule (reference quadrature/SparseGaussHermite.h:138-166, loaded once and
+    HBM-resident here).
+    """
+
+    start: jnp.ndarray          # [K] int32, first state index of the support
+    nodes: jnp.ndarray          # [M, d] zero-mean sigma nodes
+    weights: jnp.ndarray        # [M]
+    params: Any                 # pytree, leading K axis on leaves
+    cost_fn: Callable[..., jnp.ndarray] = field(metadata=dict(static=True))
+    nb: int = field(metadata=dict(static=True), default=1)
+
+    @property
+    def num_factors(self) -> int:
+        return self.start.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.nodes.shape[-1]
+
+
+def make_nonlinear_batch(
+    cost_fn: Callable[..., jnp.ndarray],
+    start_indices,
+    state_dim: int,
+    nb: int = 1,
+    params: Any = None,
+    gh_degree: int = 10,
+    kind: str = "sparse",
+    dtype=None,
+) -> NonlinearFactorBatch:
+    """Build a NonlinearFactorBatch with a (dim, degree) quadrature rule."""
+    dim = nb * state_dim
+    nodes, weights = get_rule(dim, gh_degree, kind)
+    dtype = dtype or jnp.zeros(0).dtype
+    return NonlinearFactorBatch(
+        start=jnp.asarray(np.asarray(start_indices, dtype=np.int32)),
+        nodes=jnp.asarray(nodes, dtype),
+        weights=jnp.asarray(weights, dtype),
+        params=params,
+        cost_fn=cost_fn,
+        nb=nb,
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class LinearFactorBatch:
+    """K closed-form linear-Gaussian factors.
+
+    Negative log potential ``psi(x) = C * ||Lam x - Psi mu_t||^2_{prec_t}``
+    (reference gp/linear_factor.h:18-31).  ``Lam``/``Psi`` map the local
+    d-dimensional support to the r-dimensional residual.
+    """
+
+    start: jnp.ndarray          # [K] int32
+    lam: jnp.ndarray            # [K, r, d]
+    psi: jnp.ndarray            # [K, r, dt]
+    target_mu: jnp.ndarray      # [K, dt]
+    target_prec: jnp.ndarray    # [K, r, r]
+    constant: jnp.ndarray       # [K]
+    nb: int = field(metadata=dict(static=True), default=1)
+
+    @property
+    def num_factors(self) -> int:
+        return self.start.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.lam.shape[-1]

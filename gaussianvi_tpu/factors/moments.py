@@ -1,0 +1,180 @@
+"""Fused sigma-point moment computation and per-factor gradient math.
+
+The hot loop of the whole framework.  For a batch of K factors with marginals
+``(mu [K,d], cov [K,d,d])`` and an M-point rule, computes in ONE pass over
+the sigma points:
+
+    E[phi], E[(x-mu) phi], E[(x-mu)(x-mu)^T phi]
+
+The reference evaluates the cost function three times — once per moment —
+in three separate ``Integrate`` calls (ngd/NGDFactorizedBaseGH.h:53-74 calls
+quadrature/SparseGaussHermite.h:197-221 thrice); here ``phi`` is evaluated
+once and the three weighted reductions are einsums that XLA fuses (and the
+Pallas kernel in :mod:`gaussianvi_tpu.kernels` fuses fully).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.blocktridiag import spd_inv
+from ..ops.psd import psd_sqrtm
+
+
+def sigma_points(
+    nodes: jnp.ndarray, mu: jnp.ndarray, cov: jnp.ndarray
+) -> jnp.ndarray:
+    """Place zero-mean nodes at N(mu_k, cov_k): ``nodes @ sqrt(P).T + mu``.
+
+    Uses the symmetric eigh square root, matching the reference's
+    ``SelfAdjointEigenSolver::operatorSqrt`` placement
+    (quadrature/SparseGaussHermite.h:231-243).
+    Shapes: nodes [M,d], mu [K,d], cov [K,d,d] -> [K,M,d].
+    """
+    sqrt_p = psd_sqrtm(cov)  # [K,d,d], symmetric
+    return jnp.einsum("md,kde->kme", nodes, sqrt_p) + mu[:, None, :]
+
+
+def eval_phi(
+    cost_fn: Callable[..., jnp.ndarray], pts: jnp.ndarray, params: Any
+) -> jnp.ndarray:
+    """phi over the sigma batch: pts [K,M,d] -> [K,M]."""
+    per_factor = jax.vmap(cost_fn, in_axes=(0, None))  # over M points
+    if params is None:
+        return jax.vmap(lambda p: per_factor(p, None))(pts)
+    return jax.vmap(per_factor, in_axes=(0, 0))(pts, params)
+
+
+def gh_moments(
+    nodes: jnp.ndarray,
+    weights: jnp.ndarray,
+    mu: jnp.ndarray,
+    cov: jnp.ndarray,
+    cost_fn: Callable[..., jnp.ndarray],
+    params: Any,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused (E[phi] [K], E[(x-mu)phi] [K,d], E[(x-mu)(x-mu)^T phi] [K,d,d])."""
+    pts = sigma_points(nodes, mu, cov)
+    phi = eval_phi(cost_fn, pts, params)          # [K,M]
+    wphi = phi * weights[None, :]                 # [K,M]
+    e_phi = jnp.sum(wphi, axis=-1)
+    diff = pts - mu[:, None, :]                   # [K,M,d]
+    e_xmu = jnp.einsum("km,kmd->kd", wphi, diff)
+    e_xxt = jnp.einsum("km,kmd,kme->kde", wphi, diff, diff)
+    return e_phi, e_xmu, e_xxt
+
+
+def expectation_phi(
+    nodes: jnp.ndarray,
+    weights: jnp.ndarray,
+    mu: jnp.ndarray,
+    cov: jnp.ndarray,
+    cost_fn: Callable[..., jnp.ndarray],
+    params: Any,
+) -> jnp.ndarray:
+    """E[phi] only (the line-search cost path needs no moments)."""
+    pts = sigma_points(nodes, mu, cov)
+    phi = eval_phi(cost_fn, pts, params)
+    return phi @ weights
+
+
+def ngd_local_gradients(
+    e_phi: jnp.ndarray,
+    e_xmu: jnp.ndarray,
+    e_xxt: jnp.ndarray,
+    cov: jnp.ndarray,
+    temperature,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-factor natural-gradient pieces (reference NGDFactorizedBaseGH.h:53-74):
+
+        Vdmu_k  = Prec_k E[(x-mu)phi] / T
+        Vddmu_k = (Prec_k E[(x-mu)(x-mu)^T phi] Prec_k - Prec_k E[phi]) / T
+    """
+    prec = spd_inv(cov)                                        # [K,d,d]
+    vdmu = jnp.einsum("kde,ke->kd", prec, e_xmu) / temperature
+    vddmu = (
+        jnp.einsum("kab,kbc,kcd->kad", prec, e_xxt, prec)
+        - prec * e_phi[:, None, None]
+    ) / temperature
+    vddmu = 0.5 * (vddmu + jnp.swapaxes(vddmu, -1, -2))
+    return vdmu, vddmu
+
+
+def bw_local_gradients(
+    e_phi: jnp.ndarray,
+    e_xmu: jnp.ndarray,
+    e_xxt: jnp.ndarray,
+    cov: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Bures-Wasserstein gradients (proxgd/ProxGVIFactorizedBaseGH.h:153-161):
+
+        b_k = Prec_k E[(x-mu)phi]
+        S_k = Prec_k E[(x-mu)(x-mu)^T phi] Prec_k - Prec_k E[phi]
+    """
+    prec = spd_inv(cov)
+    b_k = jnp.einsum("kde,ke->kd", prec, e_xmu)
+    s_k = (
+        jnp.einsum("kab,kbc,kcd->kad", prec, e_xxt, prec)
+        - prec * e_phi[:, None, None]
+    )
+    s_k = 0.5 * (s_k + jnp.swapaxes(s_k, -1, -2))
+    return b_k, s_k
+
+
+def linear_local_gradients(
+    lam: jnp.ndarray,
+    psi: jnp.ndarray,
+    target_mu: jnp.ndarray,
+    target_prec: jnp.ndarray,
+    constant: jnp.ndarray,
+    mu: jnp.ndarray,
+    temperature,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Closed-form NGD gradients for linear-Gaussian factors.
+
+    Vdmu follows ngd/NGDFactorizedLinear.h:104-106.  The reference's O(d^4)
+    Isserlis quadruple loop (ibid.:108-119) collapses algebraically: with
+    A = Lam^T prec_t Lam and Prec = Cov^{-1},
+
+        Prec (Cov tr(A Cov) + 2 Cov A Cov) Prec - Prec tr(A Cov) = 2 A,
+
+    so Vddmu = 2 A C / T exactly — no moments, no covariance dependence.
+    (Verified against the loop in tests/test_linear_factors.py.)
+    """
+    resid = jnp.einsum("krd,kd->kr", lam, mu) - jnp.einsum(
+        "krt,kt->kr", psi, target_mu
+    )
+    vdmu = (
+        2.0
+        * jnp.einsum("krd,krs,ks->kd", lam, target_prec, resid)
+        * constant[:, None]
+        / temperature
+    )
+    a = jnp.einsum("kra,krs,ksb->kab", lam, target_prec, lam)
+    vddmu = 2.0 * a * constant[:, None, None] / temperature
+    return vdmu, vddmu
+
+
+def linear_cost(
+    lam: jnp.ndarray,
+    psi: jnp.ndarray,
+    target_mu: jnp.ndarray,
+    target_prec: jnp.ndarray,
+    constant: jnp.ndarray,
+    mu: jnp.ndarray,
+    cov: jnp.ndarray,
+) -> jnp.ndarray:
+    """Closed-form E[psi] (ngd/NGDFactorizedLinear.h:122-129):
+
+        (tr(Lam^T prec_t Lam Cov) + ||Lam mu - Psi mu_t||^2_{prec_t}) * C
+    """
+    a = jnp.einsum("kra,krs,ksb->kab", lam, target_prec, lam)
+    tr_term = jnp.trace(jnp.einsum("kab,kbc->kac", a, cov), axis1=-2, axis2=-1)
+    resid = jnp.einsum("krd,kd->kr", lam, mu) - jnp.einsum(
+        "krt,kt->kr", psi, target_mu
+    )
+    quad = jnp.einsum("kr,krs,ks->k", resid, target_prec, resid)
+    return (tr_term + quad) * constant

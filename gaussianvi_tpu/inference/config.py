@@ -1,0 +1,22 @@
+"""Optimizer configuration.
+
+The reference configures via setter methods with these defaults
+(gvibase/GVI-GH.h:51-53, 91-93: niters_lowtemp=10, niters_backtrack=10,
+stop_err=1e-5, step_size_base=0.55, trial decay x0.75).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class GVIConfig:
+    niters: int = 10
+    niters_lowtemp: int = 10
+    niters_backtrack: int = 10
+    temperature: float = 1.0
+    high_temperature: float = 10.0
+    step_size_base: float = 0.55
+    step_decay: float = 0.75
+    stop_err: float = 1e-5

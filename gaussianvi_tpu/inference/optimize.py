@@ -1,0 +1,201 @@
+"""The GVI optimization loop: NGD and Wasserstein-proximal variants.
+
+Reproduces the reference's loop semantics exactly (validated against the
+committed data/1d and data/1d_proxgvi trajectories):
+
+* record (mu, Sigma, Lambda, cost, per-factor costs) at the TOP of each
+  iteration (gvibase/GVI-GH-impl.h:56-66);
+* NGD backtracking: trial step = step_size_base * 0.75, then x0.75 per
+  failure (GVI-GH-impl.h:76-86 — the pow(base, B) line is commented out
+  upstream); Prox backtracking: trial step = base**B, B = 1, 2, ...
+  (proxgd/ProxGVI-GH-impl.h:151-176), with the JKO pseudo-gradients computed
+  once per iteration at step base**1;
+* after niters_backtrack+1 failed trials: switch to the high temperature if
+  still in the low phase, else flag convergence (GVI-GH-impl.h:100-115);
+* scheduled switch to high temperature at iteration niters_lowtemp
+  (GVI-GH-impl.h:45-51).
+
+The whole run is one ``lax.scan`` over iterations with a ``lax.while_loop``
+line search inside — a single XLA computation, no host round-trips (the
+reference's CUDA path crosses the device boundary per trial,
+GVI-GH-Cuda-impl.h:150-286).  One divergence from the reference: upstream
+*breaks* the loop on convergence, so its recorder holds fewer rows; here the
+carried state freezes instead and subsequent recorded rows repeat it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.blocktridiag import BlockTridiag, gbp_covariance, logdet, solve
+from .config import GVIConfig
+from .graph import FactorGraph, GaussianState
+from .gvi import factor_costs, ngd_gradients, prox_gradients
+
+
+class GVIHistory(NamedTuple):
+    """Per-iteration records (the reference's VIMPResults,
+    helpers/DataRecorder.h:96-118)."""
+
+    mu: jnp.ndarray            # [niters, N, s]
+    cov_diag: jnp.ndarray      # [niters, N, s, s]
+    cov_off: jnp.ndarray       # [niters, N-1, s, s]
+    cost: jnp.ndarray          # [niters]
+    factor_costs: jnp.ndarray  # [niters, K_total]
+    accepted_step: jnp.ndarray  # [niters]
+
+
+class _Carry(NamedTuple):
+    state: GaussianState
+    temperature: jnp.ndarray
+    is_lowtemp: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def _cost_of(graph, mu, precision, temperature, temper_costs):
+    cov_diag, cov_off = gbp_covariance(precision)
+    fc = factor_costs(graph, mu, cov_diag, cov_off, temperature, temper_costs)
+    total = jnp.sum(fc) + 0.5 * logdet(precision)
+    return total, fc, cov_diag, cov_off
+
+
+@partial(jax.jit, static_argnames=("config", "method"))
+def optimize(
+    graph: FactorGraph,
+    init_state: GaussianState,
+    config: GVIConfig = GVIConfig(),
+    method: str = "ngd",
+) -> tuple[GaussianState, GVIHistory]:
+    """Run the full GVI loop; returns the final state and iteration history."""
+    if method not in ("ngd", "prox"):
+        raise ValueError(f"unknown method {method!r}")
+    temper_costs = method == "ngd"
+    dtype = init_state.mu.dtype
+
+    def iteration(carry: _Carry, i_iter):
+        state, temperature, is_lowtemp, converged = carry
+
+        # scheduled high-temperature switch (GVI-GH-impl.h:45-51)
+        do_switch = jnp.logical_and(i_iter == config.niters_lowtemp, is_lowtemp)
+        temperature = jnp.where(
+            do_switch, jnp.asarray(config.high_temperature, dtype), temperature
+        )
+        is_lowtemp = jnp.logical_and(is_lowtemp, jnp.logical_not(do_switch))
+
+        cost_iter, fc_iter, cov_diag, cov_off = _cost_of(
+            graph, state.mu, state.precision, temperature, temper_costs
+        )
+
+        if method == "ngd":
+            vdmu, vddmu = ngd_gradients(
+                graph, state.mu, cov_diag, cov_off, temperature
+            )
+            dprec = vddmu - state.precision
+            dmu = solve(vddmu, -vdmu.reshape(-1)).reshape(state.mu.shape)
+            step0 = jnp.asarray(config.step_size_base, dtype)
+
+            def next_step(step, n_failed):
+                del n_failed
+                return step * config.step_decay
+        else:
+            grad_step = config.step_size_base  # pow(base, 1)
+            dmu, dprec = prox_gradients(
+                graph, state.mu, cov_diag, cov_off, grad_step
+            )
+            step0 = jnp.asarray(config.step_size_base, dtype)
+
+            def next_step(step, n_failed):
+                return jnp.asarray(config.step_size_base, dtype) ** (
+                    n_failed + 1
+                )
+
+        # ---- backtracking line search (lax.while_loop) ----
+        def ls_cond(c):
+            _, _, done, *_ = c
+            return jnp.logical_not(done)
+
+        def ls_body(c):
+            step, n_failed, done, acc_mu, acc_prec, accepted = c
+            trial = next_step(step, n_failed)
+            new_mu = state.mu + trial * dmu
+            new_prec = (state.precision + dprec.scale(trial)).symmetrize()
+            new_cost, _, _, _ = _cost_of(
+                graph, new_mu, new_prec, temperature, temper_costs
+            )
+            ok = new_cost < cost_iter
+            n_failed = jnp.where(ok, n_failed, n_failed + 1)
+            exhausted = n_failed > config.niters_backtrack
+            done = jnp.logical_or(ok, exhausted)
+            # Prox accepts the last trial even when the search is exhausted
+            # (proxgd/ProxGVI-GH-impl.h:186-192 calls update_proposal before
+            # break); NGD keeps the old iterate (GVI-GH-impl.h:100-115).
+            take = ok if method == "ngd" else jnp.logical_or(ok, exhausted)
+            acc_mu = jnp.where(take, new_mu, acc_mu)
+            acc_prec = BlockTridiag(
+                jnp.where(take, new_prec.diag, acc_prec.diag),
+                jnp.where(take, new_prec.off, acc_prec.off),
+            )
+            return (trial, n_failed, done, acc_mu, acc_prec, ok)
+
+        init_ls = (
+            step0,
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((), bool),
+            state.mu,
+            state.precision,
+            jnp.zeros((), bool),
+        )
+        step_f, _, _, acc_mu, acc_prec, accepted = lax.while_loop(
+            ls_cond, ls_body, init_ls
+        )
+
+        # exhausted line search: escalate temperature once, then converge
+        # (GVI-GH-impl.h:100-115; NGD only — prox neither escalates nor
+        # flags convergence, proxgd/ProxGVI-GH-impl.h:125-205)
+        failed = (
+            jnp.logical_not(accepted)
+            if method == "ngd"
+            else jnp.zeros((), bool)
+        )
+        esc_temp = jnp.logical_and(failed, is_lowtemp)
+        new_temperature = jnp.where(
+            esc_temp, jnp.asarray(config.high_temperature, dtype), temperature
+        )
+        new_is_lowtemp = jnp.logical_and(is_lowtemp, jnp.logical_not(esc_temp))
+        new_converged = jnp.logical_or(
+            converged, jnp.logical_and(failed, jnp.logical_not(is_lowtemp))
+        )
+
+        # freeze the state once converged (reference breaks out instead)
+        keep = jnp.logical_not(converged)
+        new_state = GaussianState(
+            jnp.where(keep, acc_mu, state.mu),
+            BlockTridiag(
+                jnp.where(keep, acc_prec.diag, state.precision.diag),
+                jnp.where(keep, acc_prec.off, state.precision.off)
+                if state.precision.off.size else state.precision.off,
+            ),
+        )
+        record = (
+            state.mu, cov_diag, cov_off, cost_iter, fc_iter,
+            jnp.where(accepted, step_f, jnp.zeros((), dtype)),
+        )
+        return _Carry(new_state, new_temperature, new_is_lowtemp, new_converged), record
+
+    init_carry = _Carry(
+        init_state,
+        jnp.asarray(config.temperature, dtype),
+        jnp.ones((), bool),
+        jnp.zeros((), bool),
+    )
+    final_carry, records = lax.scan(
+        iteration, init_carry, jnp.arange(config.niters)
+    )
+    history = GVIHistory(*records)
+    return final_carry.state, history
