@@ -1,0 +1,204 @@
+"""GP prior factor builders (the reference's gp/ model library).
+
+All builders emit :class:`LinearFactorBatch` rows — closed-form linear
+Gaussian factors ``psi(x) = C ||Lam x - Psi mu_t||^2_{prec_t}`` — batched
+over all trajectory segments at once.
+
+* fixed prior: anchor at a state (gp/fixed_prior.h:19-50)
+* minimum-acceleration (constant-velocity) GP: closed-form Phi/Q
+  (gp/minimum_acc_prior.h:26-130)
+* LTV-system GP: Phi and controllability Gramian by ODE integration
+  (gp/LTV_prior.h:28-247, which uses GSL rkf45; here a fixed-step RK4
+  matrix integrator in NumPy — offline model building, not a hot path)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .base import LinearFactorBatch
+
+
+def _as_batch(start, lam, psi, target_mu, target_prec, constant, nb, dtype):
+    return LinearFactorBatch(
+        start=jnp.asarray(np.asarray(start, np.int32)),
+        lam=jnp.asarray(lam, dtype),
+        psi=jnp.asarray(psi, dtype),
+        target_mu=jnp.asarray(target_mu, dtype),
+        target_prec=jnp.asarray(target_prec, dtype),
+        constant=jnp.asarray(constant, dtype),
+        nb=nb,
+    )
+
+
+def fixed_prior(
+    state_index: int, mu0, covariance, dtype=None
+) -> LinearFactorBatch:
+    """Anchor prior psi(x) = ||x - mu0||^2_{K^{-1}} at one state.
+
+    Lam = Psi = I, C = 1 (gp/fixed_prior.h:19-50).
+    """
+    mu0 = np.asarray(mu0, np.float64)
+    cov = np.asarray(covariance, np.float64)
+    s = mu0.shape[0]
+    dtype = dtype or jnp.zeros(0).dtype
+    return _as_batch(
+        [state_index],
+        np.eye(s)[None],
+        np.eye(s)[None],
+        mu0[None],
+        np.linalg.inv(cov)[None],
+        [1.0],
+        nb=1,
+        dtype=dtype,
+    )
+
+
+def min_acc_q(qc: np.ndarray, dt: float) -> np.ndarray:
+    """Closed-form constant-velocity process noise
+    Q = [[dt^3/3 Qc, dt^2/2 Qc], [dt^2/2 Qc, dt Qc]]
+    (gp/minimum_acc_prior.h:52-68)."""
+    d = qc.shape[0]
+    q = np.zeros((2 * d, 2 * d))
+    q[:d, :d] = qc * dt**3 / 3.0
+    q[:d, d:] = qc * dt**2 / 2.0
+    q[d:, :d] = qc * dt**2 / 2.0
+    q[d:, d:] = qc * dt
+    return q
+
+
+def min_acc_q_inv(qc_inv: np.ndarray, dt: float) -> np.ndarray:
+    """Closed-form Q^{-1} (gp/minimum_acc_prior.h:110-116)."""
+    d = qc_inv.shape[0]
+    qi = np.zeros((2 * d, 2 * d))
+    qi[:d, :d] = 12.0 * qc_inv / dt**3
+    qi[:d, d:] = -6.0 * qc_inv / dt**2
+    qi[d:, :d] = -6.0 * qc_inv / dt**2
+    qi[d:, d:] = 4.0 * qc_inv / dt
+    return qi
+
+
+def minimum_acc_prior(
+    qc, delta_t: float, num_states: int, dtype=None
+) -> LinearFactorBatch:
+    """Constant-velocity GP prior between every consecutive state pair.
+
+    State is [x; v] (dim s = 2 dim(x)); Phi = [[I, dt I], [0, I]];
+    Lam = [-Phi, I] over the pair, Psi = 0, C = 1/2
+    (gp/minimum_acc_prior.h:26-130: the Psi mean-drift term is disabled
+    upstream because a(t) = 0).
+    """
+    qc = np.atleast_2d(np.asarray(qc, np.float64))
+    d = qc.shape[0]
+    s = 2 * d
+    dtype = dtype or jnp.zeros(0).dtype
+    k = num_states - 1
+    phi = np.eye(s)
+    phi[:d, d:] = delta_t * np.eye(d)
+    lam = np.zeros((s, 2 * s))
+    lam[:, :s] = -phi
+    lam[:, s:] = np.eye(s)
+    qinv = min_acc_q_inv(np.linalg.inv(qc), delta_t)
+    return _as_batch(
+        np.arange(k),
+        np.broadcast_to(lam, (k, s, 2 * s)),
+        np.zeros((k, s, 2 * s)),
+        np.zeros((k, 2 * s)),
+        np.broadcast_to(qinv, (k, s, s)),
+        np.full(k, 0.5),
+        nb=2,
+        dtype=dtype,
+    )
+
+
+# ---------------------------------------------------------------------------
+# LTV-system GP prior
+# ---------------------------------------------------------------------------
+
+def _rk4_matrix(rhs, y0: np.ndarray, t0: float, t1: float, nsteps: int):
+    """Classical fixed-step RK4 for matrix ODEs (replaces GSL rkf45 at
+    tol 1e-12, gp/LTV_prior.h:123-152; with 200 steps over one segment the
+    piecewise-constant-coefficient solution is exact to ~1e-13)."""
+    h = (t1 - t0) / nsteps
+    y, t = y0, t0
+    for _ in range(nsteps):
+        k1 = rhs(t, y)
+        k2 = rhs(t + h / 2, y + h / 2 * k1)
+        k3 = rhs(t + h / 2, y + h / 2 * k2)
+        k4 = rhs(t + h, y + h * k3)
+        y = y + h / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+        t += h
+    return y
+
+
+def ltv_transition_and_gramian(
+    a_seg: np.ndarray, b_seg: np.ndarray, delta_t: float, nsteps: int = 200
+) -> tuple[np.ndarray, np.ndarray]:
+    """Phi(dt, 0) and controllability Gramian Q for one segment.
+
+    ``a_seg [P, s, s]`` / ``b_seg [P, s, m]`` are piecewise-constant system
+    matrices over P equal sub-intervals of the segment (the reference uses
+    P = 5 with lookup floor(4 t / dt), gp/LTV_prior.h:54-59, 187-197).
+
+        Phi' = A(t) Phi,  Phi(0) = I
+        Q'   = A Q + Q A^T + B B^T,  Q(0) = 0
+    """
+    p = a_seg.shape[0]
+    s = a_seg.shape[1]
+
+    def lookup(t):
+        idx = min(int(np.floor(4.0 * t / delta_t)), p - 1)
+        return a_seg[idx], b_seg[idx]
+
+    def phi_rhs(t, phi):
+        a, _ = lookup(t)
+        return a @ phi
+
+    def q_rhs(t, q):
+        a, b = lookup(t)
+        return a @ q + q @ a.T + b @ b.T
+
+    phi = _rk4_matrix(phi_rhs, np.eye(s), 0.0, delta_t, nsteps)
+    q = _rk4_matrix(q_rhs, np.zeros((s, s)), 0.0, delta_t, nsteps)
+    return phi, q
+
+
+def ltv_prior(
+    a_list,
+    b_list,
+    target_means,
+    delta_t: float,
+    num_states: int,
+    dtype=None,
+    nsteps: int = 200,
+) -> LinearFactorBatch:
+    """LTV GP prior over every consecutive state pair.
+
+    ``a_list``/``b_list`` index piecewise-constant (A, B) with 4*i + j for
+    segment i, sub-interval j (5 per segment, reference gp/LTV_prior.h:46-52);
+    ``target_means`` is the list of nominal means per state.  Lam = [-Phi, I],
+    Psi = [Phi, -I] (active for LTV, gp/LTV_prior.h:92-94), C = 1/2,
+    prec_t = Q^{-1}.
+    """
+    s = np.asarray(a_list[0]).shape[0]
+    k = num_states - 1
+    dtype = dtype or jnp.zeros(0).dtype
+    lam = np.zeros((k, s, 2 * s))
+    psi = np.zeros((k, s, 2 * s))
+    prec = np.zeros((k, s, s))
+    tmu = np.zeros((k, 2 * s))
+    for i in range(k):
+        a_seg = np.stack([np.asarray(a_list[4 * i + j]) for j in range(5)])
+        b_seg = np.stack([np.asarray(b_list[4 * i + j]) for j in range(5)])
+        phi, q = ltv_transition_and_gramian(a_seg, b_seg, delta_t, nsteps)
+        lam[i, :, :s] = -phi
+        lam[i, :, s:] = np.eye(s)
+        psi[i, :, :s] = phi
+        psi[i, :, s:] = -np.eye(s)
+        prec[i] = np.linalg.inv(q)
+        tmu[i, :s] = np.asarray(target_means[i])
+        tmu[i, s:] = np.asarray(target_means[i + 1])
+    return _as_batch(
+        np.arange(k), lam, psi, tmu, prec, np.full(k, 0.5), nb=2, dtype=dtype
+    )

@@ -1,0 +1,147 @@
+"""Multi-state chain inference: linear-Gaussian exactness + nonlinear smoke.
+
+For a purely linear-Gaussian factor graph, Gaussian VI is exact: the
+converged q must equal the true posterior N(H^{-1} b, H^{-1}) where H is the
+scattered sum of factor Hessians.  This is a stronger property test than
+anything the reference ships, and it validates the full joint pipeline
+(scatter, GBP, solve, line search) at once.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianvi_tpu.examples.chain_estimation import (
+    build_chain_estimation,
+    run_chain_estimation,
+)
+from gaussianvi_tpu.factors.priors import fixed_prior, minimum_acc_prior
+from gaussianvi_tpu.inference import (
+    FactorGraph,
+    GaussianState,
+    GVIConfig,
+    optimize,
+)
+from gaussianvi_tpu.ops import BlockTridiag
+
+
+def dense_posterior(linear_batches, num_states, state_dim):
+    """Exact Gaussian posterior for linear factors: H, b from
+    -log p = sum C ||Lam x - Psi mu_t||^2_{P}  =>  H = sum 2C Lam^T P Lam."""
+    d = num_states * state_dim
+    h = np.zeros((d, d))
+    b = np.zeros(d)
+    for lb in linear_batches:
+        lam = np.asarray(lb.lam)
+        psi = np.asarray(lb.psi)
+        tp = np.asarray(lb.target_prec)
+        tmu = np.asarray(lb.target_mu)
+        cst = np.asarray(lb.constant)
+        for k in range(lb.num_factors):
+            start = int(lb.start[k]) * state_dim
+            sl = slice(start, start + lb.nb * state_dim)
+            a = 2.0 * cst[k] * lam[k].T @ tp[k] @ lam[k]
+            rhs = 2.0 * cst[k] * lam[k].T @ tp[k] @ (psi[k] @ tmu[k])
+            h[sl, sl] += a
+            b[sl] += rhs
+    mean = np.linalg.solve(h, b)
+    return mean, h
+
+
+class TestLinearGaussianExactness:
+    def test_converges_to_exact_posterior(self):
+        num_states, dim_x, dt = 8, 1, 0.2
+        state_dim = 2 * dim_x
+        rng = np.random.default_rng(5)
+        anchor_mu = rng.standard_normal(state_dim)
+        anchor = fixed_prior(0, anchor_mu, 0.5 * np.eye(state_dim))
+        gp = minimum_acc_prior(np.eye(dim_x), dt, num_states)
+        # linear position "measurements" as an extra anchor on every state
+        meas_mu = rng.standard_normal((num_states, state_dim))
+        meas = fixed_prior(0, meas_mu[0], 2.0 * np.eye(state_dim))
+        import jax
+        meas = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs)
+            if isinstance(xs[0], jnp.ndarray) and xs[0].ndim > 0
+            else xs[0],
+            *[fixed_prior(i, meas_mu[i], 2.0 * np.eye(state_dim))
+              for i in range(num_states)],
+        )
+        graph = FactorGraph(
+            num_states=num_states, state_dim=state_dim,
+            linear=(anchor, gp, meas),
+        )
+        init = GaussianState(
+            jnp.zeros((num_states, state_dim)),
+            BlockTridiag.identity(num_states, state_dim, 5.0),
+        )
+        # high_temperature=1.0 so the backtracking-exhaustion escalation at
+        # the optimum (GVI-GH-impl.h:100-115) is a no-op and q* stays the
+        # untempered posterior.
+        config = GVIConfig(
+            niters=30, niters_lowtemp=30, step_size_base=0.9,
+            high_temperature=1.0,
+        )
+        final, hist = optimize(graph, init, config, method="ngd")
+
+        mean_exact, h_exact = dense_posterior(
+            graph.linear, num_states, state_dim
+        )
+        np.testing.assert_allclose(
+            np.asarray(final.mu).reshape(-1), mean_exact, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(final.precision.to_dense()),
+            h_exact,
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_cost_decreases(self):
+        num_states = 8
+        _, hist = run_chain_estimation(
+            "ngd", num_states=num_states, dim_x=1, dt=0.1
+        )
+        cost = np.asarray(hist.cost)
+        assert cost[-1] < cost[0]
+        # monotone wherever a step was accepted
+        acc = np.asarray(hist.accepted_step) > 0
+        diffs = np.diff(cost)
+        assert np.all(diffs[acc[:-1]] < 1e-12)
+
+
+class TestNonlinearChain:
+    def test_ngd_runs_and_improves(self):
+        final, hist = run_chain_estimation("ngd", num_states=12, dim_x=2)
+        assert np.isfinite(np.asarray(hist.cost)).all()
+        assert hist.cost[-1] < hist.cost[0]
+        assert np.isfinite(np.asarray(final.mu)).all()
+
+    def test_prox_runs_and_improves(self):
+        """BW-proximal descent is a small-step method: the JKO step is
+        first-order in the factor curvature, so the step size must sit below
+        2/L (here measurement precision ~4)."""
+        from gaussianvi_tpu.examples.chain_estimation import (
+            build_chain_estimation,
+        )
+
+        graph, init, _ = build_chain_estimation(
+            num_states=6, dim_x=1, gh_degree=4,
+            meas_sigma=0.5, anchor_cov=0.5,
+        )
+        config = GVIConfig(
+            niters=20, niters_lowtemp=20, step_size_base=0.2
+        )
+        final, hist = optimize(graph, init, config, method="prox")
+        assert np.isfinite(np.asarray(hist.cost)).all()
+        assert hist.cost[-1] < hist.cost[0]
+
+    def test_posterior_tracks_truth(self):
+        """Converged position means should be near the simulated trajectory."""
+        from gaussianvi_tpu.examples.chain_estimation import simulate_trajectory
+
+        num_states, dim_x, dt = 16, 1, 0.1
+        final, _ = run_chain_estimation(
+            "ngd", num_states=num_states, dim_x=dim_x, dt=dt
+        )
+        pos, _, _, _, _ = simulate_trajectory(num_states, dim_x, dt, seed=0)
+        est = np.asarray(final.mu[:, :dim_x])
+        assert np.abs(est - pos).max() < 0.2
