@@ -1,0 +1,94 @@
+"""Benchmark: NGD iterations/sec on the batch state-estimation flagship.
+
+The north-star metric (BASELINE.json): NGD iterations/sec on batch
+state-estimation graphs.  The reference publishes no numbers (BASELINE.md),
+so ``vs_baseline`` reports the TPU rate against the same JAX engine executed
+on the host CPU backend — a stand-in for the reference's OpenMP/Eigen CPU
+path (which the vectorized CPU-JAX run already upper-bounds).
+
+Workload: B independent trajectory-estimation problems, each N states of
+dim 4 ([pos2; vel2]), minimum-acc GP priors + anchor + nonlinear range
+measurements, full NGD iterations including the backtracking line search.
+One JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_batch(num_problems, num_states, dim_x, gh_degree):
+    from gaussianvi_tpu.examples.chain_estimation import build_chain_estimation
+    from gaussianvi_tpu.parallel.sharding import stack_problems
+
+    graphs, states = [], []
+    for seed in range(num_problems):
+        graph, init, _ = build_chain_estimation(
+            num_states=num_states, dim_x=dim_x, gh_degree=gh_degree, seed=seed
+        )
+        graphs.append(graph)
+        states.append(init)
+    return stack_problems(graphs, states)
+
+
+def bench_device(device, num_problems=16, num_states=32, dim_x=2,
+                 gh_degree=4, niters=10, repeats=3):
+    from gaussianvi_tpu.inference import GVIConfig
+    from gaussianvi_tpu.inference.optimize import optimize
+
+    config = GVIConfig(
+        niters=niters, niters_lowtemp=niters, step_size_base=0.9
+    )
+
+    with jax.default_device(device):
+        graph_b, state_b = build_batch(
+            num_problems, num_states, dim_x, gh_degree
+        )
+        graph_b = jax.device_put(graph_b, device)
+        state_b = jax.device_put(state_b, device)
+
+        run = jax.jit(
+            jax.vmap(
+                lambda g, s: optimize(g, s, config, method="ngd")[0]
+            )
+        )
+        out = run(graph_b, state_b)  # compile
+        jax.block_until_ready(out)
+
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = run(graph_b, state_b)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        assert bool(jnp.isfinite(out.mu).all())
+        return num_problems * niters / best
+
+
+def main():
+    tpu_devices = jax.devices()
+    rate_dev = bench_device(tpu_devices[0])
+
+    try:
+        cpu = jax.devices("cpu")[0]
+        rate_cpu = bench_device(cpu)
+    except Exception:
+        rate_cpu = float("nan")
+
+    vs = rate_dev / rate_cpu if np.isfinite(rate_cpu) and rate_cpu > 0 else 1.0
+    print(json.dumps({
+        "metric": "ngd_iters_per_sec_batch16x32states",
+        "value": round(rate_dev, 2),
+        "unit": "iters/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
