@@ -1,0 +1,134 @@
+"""Signed-distance fields and hinge-loss obstacle costs.
+
+TPU-native port of the reference's device-side SDF classes
+(helpers/CudaOperation.h: PlanarSDF 21-131, SignedDistanceField 133-322) and
+the obstacle cost used by every robot model (ibid. 491-region):
+
+    cost(x) = sum_balls sigma * (slope * max(0, eps + radius - sd(ball)))^2
+
+Here an SDF is a pytree of arrays; interpolation is a vectorized gather +
+bilinear/trilinear blend, differentiable end-to-end (the reference carries a
+hand-written gradient; jax.grad reproduces it inside each cell).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PlanarSDF:
+    """2-D signed distance field on a regular grid.
+
+    ``data[row, col]`` with row <-> y and col <-> x, origin at (x0, y0),
+    uniform cell size — the reference's layout (CudaOperation.h:62-84).
+    """
+
+    data: jnp.ndarray      # [rows, cols]
+    origin: jnp.ndarray    # [2] (x0, y0)
+    cell_size: jnp.ndarray
+
+    def point_to_cell(self, point: jnp.ndarray) -> jnp.ndarray:
+        """(x, y) -> fractional (row, col), clamped to the field extent."""
+        rows, cols = self.data.shape
+        x = jnp.clip(
+            point[..., 0],
+            self.origin[0],
+            self.origin[0] + (cols - 1.0) * self.cell_size,
+        )
+        y = jnp.clip(
+            point[..., 1],
+            self.origin[1],
+            self.origin[1] + (rows - 1.0) * self.cell_size,
+        )
+        col = (x - self.origin[0]) / self.cell_size
+        row = (y - self.origin[1]) / self.cell_size
+        return jnp.stack([row, col], axis=-1)
+
+    def signed_distance(self, points: jnp.ndarray) -> jnp.ndarray:
+        """Bilinear-interpolated signed distance at points [..., 2] (x, y)."""
+        idx = self.point_to_cell(points)
+        r, c = idx[..., 0], idx[..., 1]
+        rows, cols = self.data.shape
+        lr = jnp.floor(r)
+        lc = jnp.floor(c)
+        lri = jnp.clip(lr.astype(jnp.int32), 0, rows - 1)
+        lci = jnp.clip(lc.astype(jnp.int32), 0, cols - 1)
+        hri = jnp.clip(lri + 1, 0, rows - 1)
+        hci = jnp.clip(lci + 1, 0, cols - 1)
+        wr = r - lr
+        wc = c - lc
+        d = self.data
+        return (
+            (1 - wr) * (1 - wc) * d[lri, lci]
+            + wr * (1 - wc) * d[hri, lci]
+            + (1 - wr) * wc * d[lri, hci]
+            + wr * wc * d[hri, hci]
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SDF3D:
+    """3-D signed distance field, trilinear interpolation
+    (CudaOperation.h:133-322; z stacked as the leading axis here)."""
+
+    data: jnp.ndarray      # [z, rows, cols]
+    origin: jnp.ndarray    # [3] (x0, y0, z0)
+    cell_size: jnp.ndarray
+
+    def signed_distance(self, points: jnp.ndarray) -> jnp.ndarray:
+        nz, rows, cols = self.data.shape
+        x = jnp.clip(
+            points[..., 0],
+            self.origin[0],
+            self.origin[0] + (cols - 1.0) * self.cell_size,
+        )
+        y = jnp.clip(
+            points[..., 1],
+            self.origin[1],
+            self.origin[1] + (rows - 1.0) * self.cell_size,
+        )
+        z = jnp.clip(
+            points[..., 2],
+            self.origin[2],
+            self.origin[2] + (nz - 1.0) * self.cell_size,
+        )
+        c = (x - self.origin[0]) / self.cell_size
+        r = (y - self.origin[1]) / self.cell_size
+        zz = (z - self.origin[2]) / self.cell_size
+
+        lr, lc, lz = jnp.floor(r), jnp.floor(c), jnp.floor(zz)
+        lri = jnp.clip(lr.astype(jnp.int32), 0, rows - 1)
+        lci = jnp.clip(lc.astype(jnp.int32), 0, cols - 1)
+        lzi = jnp.clip(lz.astype(jnp.int32), 0, nz - 1)
+        hri = jnp.clip(lri + 1, 0, rows - 1)
+        hci = jnp.clip(lci + 1, 0, cols - 1)
+        hzi = jnp.clip(lzi + 1, 0, nz - 1)
+        wr, wc, wz = r - lr, c - lc, zz - lz
+        d = self.data
+        c00 = (1 - wr) * d[lzi, lri, lci] + wr * d[lzi, hri, lci]
+        c01 = (1 - wr) * d[hzi, lri, lci] + wr * d[hzi, hri, lci]
+        c10 = (1 - wr) * d[lzi, lri, hci] + wr * d[lzi, hri, hci]
+        c11 = (1 - wr) * d[hzi, lri, hci] + wr * d[hzi, hri, hci]
+        c0 = (1 - wc) * c00 + wc * c10
+        c1 = (1 - wc) * c01 + wc * c11
+        return (1 - wz) * c0 + wz * c1
+
+
+def hinge_obstacle_cost(
+    signed_distances: jnp.ndarray,
+    epsilon,
+    radius,
+    sigma,
+    slope=1.0,
+) -> jnp.ndarray:
+    """sum_i sigma * (slope * max(0, eps + radius_i - sd_i))^2 over the last
+    axis (the per-ball loop of cost_obstacle_planar)."""
+    radius = jnp.broadcast_to(jnp.asarray(radius), signed_distances.shape)
+    err = jnp.maximum(0.0, epsilon + radius - signed_distances) * slope
+    return jnp.sum(err * err * sigma, axis=-1)

@@ -98,6 +98,16 @@ def optimize(
             )
             dprec = vddmu - state.precision
             dmu = solve(vddmu, -vdmu.reshape(-1)).reshape(state.mu.shape)
+            # Vddmu can be indefinite far from the optimum (negative factor
+            # curvature, e.g. inside obstacles) and the Cholesky-based
+            # Thomas solve then yields NaN; fall back to the current
+            # precision as metric — always SPD, still a descent direction.
+            # (The reference CG-solves the same indefinite system and relies
+            # on backtracking to reject bad steps, ngd/NGD-GH-impl.h:57-62.)
+            fallback = solve(
+                state.precision, -vdmu.reshape(-1)
+            ).reshape(state.mu.shape)
+            dmu = jnp.where(jnp.isfinite(dmu).all(), dmu, fallback)
             step0 = jnp.asarray(config.step_size_base, dtype)
 
             def next_step(step, n_failed):
@@ -121,27 +131,41 @@ def optimize(
             return jnp.logical_not(done)
 
         def ls_body(c):
+            # every update is gated on ``live``: under vmap the batched
+            # while_loop keeps running until ALL lanes finish, and a lane
+            # that already accepted must not have its result overwritten by
+            # later (smaller-step) trials.
             step, n_failed, done, acc_mu, acc_prec, accepted = c
+            live = jnp.logical_not(done)
             trial = next_step(step, n_failed)
             new_mu = state.mu + trial * dmu
             new_prec = (state.precision + dprec.scale(trial)).symmetrize()
             new_cost, _, _, _ = _cost_of(
                 graph, new_mu, new_prec, temperature, temper_costs
             )
-            ok = new_cost < cost_iter
-            n_failed = jnp.where(ok, n_failed, n_failed + 1)
+            ok = jnp.logical_and(new_cost < cost_iter, live)
+            n_failed = jnp.where(
+                jnp.logical_and(live, jnp.logical_not(ok)),
+                n_failed + 1,
+                n_failed,
+            )
             exhausted = n_failed > config.niters_backtrack
-            done = jnp.logical_or(ok, exhausted)
             # Prox accepts the last trial even when the search is exhausted
             # (proxgd/ProxGVI-GH-impl.h:186-192 calls update_proposal before
             # break); NGD keeps the old iterate (GVI-GH-impl.h:100-115).
-            take = ok if method == "ngd" else jnp.logical_or(ok, exhausted)
+            take = ok if method == "ngd" else jnp.logical_or(
+                ok, jnp.logical_and(live, exhausted)
+            )
             acc_mu = jnp.where(take, new_mu, acc_mu)
             acc_prec = BlockTridiag(
                 jnp.where(take, new_prec.diag, acc_prec.diag),
                 jnp.where(take, new_prec.off, acc_prec.off),
             )
-            return (trial, n_failed, done, acc_mu, acc_prec, ok)
+            new_done = jnp.logical_or(done, jnp.logical_or(ok, exhausted))
+            new_step = jnp.where(live, trial, step)
+            new_accepted = jnp.logical_or(accepted, ok)
+            return (new_step, n_failed, new_done, acc_mu, acc_prec,
+                    new_accepted)
 
         init_ls = (
             step0,

@@ -157,20 +157,29 @@ def _iteration_local(graph, state, temperature, config):
         return jnp.logical_not(c[2])
 
     def ls_body(c):
+        # updates gated on ``live`` — under vmap the batched while_loop runs
+        # until all lanes finish and finished lanes must stay frozen.
         step, n_failed, done, acc_mu, acc_prec, accepted = c
+        live = jnp.logical_not(done)
         trial = step * config.step_decay
         new_mu = mu + trial * dmu
         new_prec = (precision + dprec.scale(trial)).symmetrize()
         new_cost, _, _ = cost_of(new_mu, new_prec)
-        ok = new_cost < cost_iter
-        n_failed = jnp.where(ok, n_failed, n_failed + 1)
-        done = jnp.logical_or(ok, n_failed > config.niters_backtrack)
+        ok = jnp.logical_and(new_cost < cost_iter, live)
+        n_failed = jnp.where(
+            jnp.logical_and(live, jnp.logical_not(ok)), n_failed + 1, n_failed
+        )
+        new_done = jnp.logical_or(
+            done, jnp.logical_or(ok, n_failed > config.niters_backtrack)
+        )
         acc_mu = jnp.where(ok, new_mu, acc_mu)
         acc_prec = BlockTridiag(
             jnp.where(ok, new_prec.diag, acc_prec.diag),
             jnp.where(ok, new_prec.off, acc_prec.off),
         )
-        return (trial, n_failed, done, acc_mu, acc_prec, ok)
+        new_step = jnp.where(live, trial, step)
+        return (new_step, n_failed, new_done, acc_mu, acc_prec,
+                jnp.logical_or(accepted, ok))
 
     init = (
         jnp.asarray(config.step_size_base, mu.dtype),
