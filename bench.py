@@ -57,17 +57,22 @@ def bench_device(device, num_problems=16, num_states=32, dim_x=2,
                 lambda g, s: optimize(g, s, config, method="ngd")[0]
             )
         )
-        out = run(graph_b, state_b)  # compile
-        jax.block_until_ready(out)
+
+        def sync(result):
+            # block_until_ready is unreliable through the async remote-TPU
+            # tunnel; a host transfer of a reduced scalar forces completion
+            return float(jnp.sum(result.mu))
+
+        sync(run(graph_b, state_b))  # compile + settle
 
         times = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             out = run(graph_b, state_b)
-            jax.block_until_ready(out)
+            checksum = sync(out)
             times.append(time.perf_counter() - t0)
         best = min(times)
-        assert bool(jnp.isfinite(out.mu).all())
+        assert np.isfinite(checksum)
         return num_problems * niters / best
 
 

@@ -108,75 +108,58 @@ def optimize(
                 state.precision, -vdmu.reshape(-1)
             ).reshape(state.mu.shape)
             dmu = jnp.where(jnp.isfinite(dmu).all(), dmu, fallback)
-            step0 = jnp.asarray(config.step_size_base, dtype)
-
-            def next_step(step, n_failed):
-                del n_failed
-                return step * config.step_decay
+            # trial schedule: base * 0.75^t, t = 1..niters_backtrack+1
+            # (GVI-GH-impl.h:76-86; the pow(base, B) line is commented
+            # out upstream)
+            n_trials = config.niters_backtrack + 1
+            trials = config.step_size_base * (
+                config.step_decay ** jnp.arange(1, n_trials + 1, dtype=dtype)
+            )
         else:
             grad_step = config.step_size_base  # pow(base, 1)
             dmu, dprec = prox_gradients(
                 graph, state.mu, cov_diag, cov_off, grad_step
             )
-            step0 = jnp.asarray(config.step_size_base, dtype)
+            # trial schedule: base^B, B = 1..niters_backtrack+1
+            # (proxgd/ProxGVI-GH-impl.h:151-176)
+            n_trials = config.niters_backtrack + 1
+            trials = jnp.asarray(config.step_size_base, dtype) ** jnp.arange(
+                1, n_trials + 1, dtype=dtype
+            )
 
-            def next_step(step, n_failed):
-                return jnp.asarray(config.step_size_base, dtype) ** (
-                    n_failed + 1
-                )
-
-        # ---- backtracking line search (lax.while_loop) ----
-        def ls_cond(c):
-            _, _, done, *_ = c
-            return jnp.logical_not(done)
-
-        def ls_body(c):
-            # every update is gated on ``live``: under vmap the batched
-            # while_loop keeps running until ALL lanes finish, and a lane
-            # that already accepted must not have its result overwritten by
-            # later (smaller-step) trials.
-            step, n_failed, done, acc_mu, acc_prec, accepted = c
-            live = jnp.logical_not(done)
-            trial = next_step(step, n_failed)
-            new_mu = state.mu + trial * dmu
-            new_prec = (state.precision + dprec.scale(trial)).symmetrize()
-            new_cost, _, _, _ = _cost_of(
+        # ---- batched backtracking line search ----
+        # All candidate steps are evaluated in ONE vmapped cost computation
+        # and the first sufficiently-decreasing one is selected — identical
+        # accepted state to the reference's sequential shrink loop
+        # (GVI-GH-impl.h:76-118), but a single wide batch on the MXU instead
+        # of up to niters_backtrack+1 serialized evaluations.
+        def trial_cost(s):
+            new_mu = state.mu + s * dmu
+            new_prec = (state.precision + dprec.scale(s)).symmetrize()
+            c, _, _, _ = _cost_of(
                 graph, new_mu, new_prec, temperature, temper_costs
             )
-            ok = jnp.logical_and(new_cost < cost_iter, live)
-            n_failed = jnp.where(
-                jnp.logical_and(live, jnp.logical_not(ok)),
-                n_failed + 1,
-                n_failed,
-            )
-            exhausted = n_failed > config.niters_backtrack
-            # Prox accepts the last trial even when the search is exhausted
-            # (proxgd/ProxGVI-GH-impl.h:186-192 calls update_proposal before
-            # break); NGD keeps the old iterate (GVI-GH-impl.h:100-115).
-            take = ok if method == "ngd" else jnp.logical_or(
-                ok, jnp.logical_and(live, exhausted)
-            )
-            acc_mu = jnp.where(take, new_mu, acc_mu)
-            acc_prec = BlockTridiag(
-                jnp.where(take, new_prec.diag, acc_prec.diag),
-                jnp.where(take, new_prec.off, acc_prec.off),
-            )
-            new_done = jnp.logical_or(done, jnp.logical_or(ok, exhausted))
-            new_step = jnp.where(live, trial, step)
-            new_accepted = jnp.logical_or(accepted, ok)
-            return (new_step, n_failed, new_done, acc_mu, acc_prec,
-                    new_accepted)
+            return c
 
-        init_ls = (
-            step0,
-            jnp.zeros((), jnp.int32),
-            jnp.zeros((), bool),
-            state.mu,
-            state.precision,
-            jnp.zeros((), bool),
-        )
-        step_f, _, _, acc_mu, acc_prec, accepted = lax.while_loop(
-            ls_cond, ls_body, init_ls
+        trial_costs = jax.vmap(trial_cost)(trials)
+        ok = trial_costs < cost_iter  # NaN costs compare False
+        accepted = jnp.any(ok)
+        first_ok = jnp.argmax(ok)
+        # Prox accepts the LAST trial even when the search is exhausted
+        # (proxgd/ProxGVI-GH-impl.h:186-192 calls update_proposal before
+        # break); NGD keeps the old iterate (GVI-GH-impl.h:100-115).
+        if method == "ngd":
+            sel = first_ok
+            take = accepted
+        else:
+            sel = jnp.where(accepted, first_ok, n_trials - 1)
+            take = jnp.ones((), bool)
+        step_f = trials[sel]
+        acc_mu = jnp.where(take, state.mu + step_f * dmu, state.mu)
+        sel_prec = (state.precision + dprec.scale(step_f)).symmetrize()
+        acc_prec = BlockTridiag(
+            jnp.where(take, sel_prec.diag, state.precision.diag),
+            jnp.where(take, sel_prec.off, state.precision.off),
         )
 
         # exhausted line search: escalate temperature once, then converge

@@ -1,0 +1,13 @@
+from .hmc import HMCResult, hmc, run_chains
+from .nuts import NUTSResult, nuts
+from .smc import SMCResult, smc_adaptive
+from .target import make_log_density, neg_log_prob
+from .validate import validate_posterior
+
+__all__ = [
+    "hmc", "run_chains", "HMCResult",
+    "nuts", "NUTSResult",
+    "smc_adaptive", "SMCResult",
+    "neg_log_prob", "make_log_density",
+    "validate_posterior",
+]
