@@ -12,7 +12,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..factors import moments as mm
-from ..ops.blocktridiag import BlockTridiag, gbp_covariance, logdet, spd_inv
+from ..ops.blocktridiag import (
+    BlockTridiag,
+    gbp_covariance,
+    gbp_covariance_logdet,
+    spd_inv,
+)
 from ..ops.psd import sqrtm_product
 from .graph import FactorGraph, gather_marginals, scatter_gradients
 
@@ -61,9 +66,9 @@ def joint_cost(
 ) -> jnp.ndarray:
     """Total V(q) = sum_k E[psi_k](/T) + 0.5 log det Lambda
     (gvibase/GVI-GH-impl.h:175-197)."""
-    cov_diag, cov_off = gbp_covariance(precision)
+    cov_diag, cov_off, ld = gbp_covariance_logdet(precision)
     fc = factor_costs(graph, mu, cov_diag, cov_off, temperature, temper_costs)
-    return jnp.sum(fc) + 0.5 * logdet(precision)
+    return jnp.sum(fc) + 0.5 * ld
 
 
 def ngd_gradients(

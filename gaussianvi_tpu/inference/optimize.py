@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.blocktridiag import BlockTridiag, gbp_covariance, logdet, solve
+from ..ops.blocktridiag import BlockTridiag, gbp_covariance_logdet, solve
 from .config import GVIConfig
 from .graph import FactorGraph, GaussianState
 from .gvi import factor_costs, ngd_gradients, prox_gradients
@@ -59,9 +59,9 @@ class _Carry(NamedTuple):
 
 
 def _cost_of(graph, mu, precision, temperature, temper_costs):
-    cov_diag, cov_off = gbp_covariance(precision)
+    cov_diag, cov_off, ld = gbp_covariance_logdet(precision)
     fc = factor_costs(graph, mu, cov_diag, cov_off, temperature, temper_costs)
-    total = jnp.sum(fc) + 0.5 * logdet(precision)
+    total = jnp.sum(fc) + 0.5 * ld
     return total, fc, cov_diag, cov_off
 
 

@@ -262,6 +262,60 @@ def gbp_covariance(A: BlockTridiag) -> tuple[jnp.ndarray, jnp.ndarray]:
     return cov_diag, cov_off
 
 
+def gbp_covariance_logdet(
+    A: BlockTridiag,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """GBP covariance blocks AND log det in one pass.
+
+    The forward GBP pivots ``D_i + f_i`` are exactly the block-Cholesky
+    pivots (same Schur recurrence), so log det = sum log det(D_i + f_i) —
+    the cost path gets the entropy term without a second factorization
+    sweep (the reference runs the LDLT separately, GVI-GH-impl.h:192-196).
+    """
+    n, s = A.num_states, A.block_dim
+    if n == 1:
+        chol = jnp.linalg.cholesky(A.diag[0])
+        ld = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+        return spd_inv(A.diag[0])[None], A.off, ld
+
+    def fwd_step(m, inputs):
+        d, b_off = inputs
+        m_next = -b_off.T @ spd_solve(d + m, b_off)
+        return m_next, m
+
+    zero = jnp.zeros((s, s), A.diag.dtype)
+    f_last, f_head = lax.scan(fwd_step, zero, (A.diag[:-1], A.off))
+    fwd_msgs = jnp.concatenate([f_head, f_last[None]], axis=0)
+
+    pivots = A.diag + fwd_msgs
+    chol = jnp.linalg.cholesky(pivots)
+    ld = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)))
+
+    def bwd_step(m, inputs):
+        d, b_off = inputs
+        m_prev = -b_off @ spd_solve(d + m, b_off.T)
+        return m_prev, m
+
+    b_last, b_tail = lax.scan(bwd_step, zero, (A.diag[1:], A.off), reverse=True)
+    bwd_msgs = jnp.concatenate([b_last[None], b_tail], axis=0)
+
+    top_left = pivots[:-1]
+    bot_right = A.diag[1:] + bwd_msgs[1:]
+    joint = jnp.concatenate(
+        [
+            jnp.concatenate([top_left, A.off], axis=2),
+            jnp.concatenate([jnp.swapaxes(A.off, -1, -2), bot_right], axis=2),
+        ],
+        axis=1,
+    )
+    joint_cov = spd_inv(joint)
+    cov_diag = jnp.concatenate(
+        [joint_cov[:, :s, :s], joint_cov[-1:, s:, s:]], axis=0
+    )
+    cov_off = joint_cov[:, :s, s:]
+    return cov_diag, cov_off, ld
+
+
 def marginal_covariance_dense(A: BlockTridiag) -> jnp.ndarray:
     """Dense ``A^{-1}`` (test/reference oracle only)."""
     return jnp.linalg.inv(A.to_dense())

@@ -37,7 +37,12 @@ from ..inference.graph import (
     gather_marginals,
     scatter_gradients,
 )
-from ..ops.blocktridiag import BlockTridiag, gbp_covariance, logdet, solve
+from ..ops.blocktridiag import (
+    BlockTridiag,
+    gbp_covariance_logdet,
+    logdet,
+    solve,
+)
 
 
 def make_mesh(dp: int, fp: int, devices=None) -> Mesh:
@@ -105,7 +110,7 @@ def _iteration_local(graph, state, temperature, config):
     mu, precision = state.mu, state.precision
 
     def cost_of(mu_, prec_):
-        cov_d, cov_o = gbp_covariance(prec_)
+        cov_d, cov_o, ld = gbp_covariance_logdet(prec_)
         local = jnp.zeros((), mu_.dtype)
         for fb in graph.nonlinear:
             mu_k, cov_k = gather_marginals(fb.start, fb.nb, mu_, cov_d, cov_o)
@@ -122,7 +127,7 @@ def _iteration_local(graph, state, temperature, config):
                     lb.constant, mu_k, cov_k,
                 )
             ) / temperature
-        return total + 0.5 * logdet(prec_), cov_d, cov_o
+        return total + 0.5 * ld, cov_d, cov_o
 
     cost_iter, cov_diag, cov_off = cost_of(mu, precision)
 
