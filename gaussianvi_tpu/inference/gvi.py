@@ -12,12 +12,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..factors import moments as mm
-from ..ops.blocktridiag import (
-    BlockTridiag,
-    gbp_covariance,
-    gbp_covariance_logdet,
-    spd_inv,
-)
+from ..ops.blocktridiag import BlockTridiag, gbp_covariance, spd_inv
+from ..ops.parallel_chain import gbp_covariance_logdet_assoc
 from ..ops.psd import sqrtm_product
 from .graph import FactorGraph, gather_marginals, scatter_gradients
 
@@ -66,7 +62,7 @@ def joint_cost(
 ) -> jnp.ndarray:
     """Total V(q) = sum_k E[psi_k](/T) + 0.5 log det Lambda
     (gvibase/GVI-GH-impl.h:175-197)."""
-    cov_diag, cov_off, ld = gbp_covariance_logdet(precision)
+    cov_diag, cov_off, ld = gbp_covariance_logdet_assoc(precision)
     fc = factor_costs(graph, mu, cov_diag, cov_off, temperature, temper_costs)
     return jnp.sum(fc) + 0.5 * ld
 

@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.blocktridiag import BlockTridiag, gbp_covariance_logdet, solve
+from ..ops.blocktridiag import BlockTridiag
+from ..ops.parallel_chain import gbp_covariance_logdet_assoc, solve_assoc
 from .config import GVIConfig
 from .graph import FactorGraph, GaussianState
 from .gvi import factor_costs, ngd_gradients, prox_gradients
@@ -59,7 +60,7 @@ class _Carry(NamedTuple):
 
 
 def _cost_of(graph, mu, precision, temperature, temper_costs):
-    cov_diag, cov_off, ld = gbp_covariance_logdet(precision)
+    cov_diag, cov_off, ld = gbp_covariance_logdet_assoc(precision)
     fc = factor_costs(graph, mu, cov_diag, cov_off, temperature, temper_costs)
     total = jnp.sum(fc) + 0.5 * ld
     return total, fc, cov_diag, cov_off
@@ -97,14 +98,14 @@ def optimize(
                 graph, state.mu, cov_diag, cov_off, temperature
             )
             dprec = vddmu - state.precision
-            dmu = solve(vddmu, -vdmu.reshape(-1)).reshape(state.mu.shape)
+            dmu = solve_assoc(vddmu, -vdmu.reshape(-1)).reshape(state.mu.shape)
             # Vddmu can be indefinite far from the optimum (negative factor
             # curvature, e.g. inside obstacles) and the Cholesky-based
             # Thomas solve then yields NaN; fall back to the current
             # precision as metric — always SPD, still a descent direction.
             # (The reference CG-solves the same indefinite system and relies
             # on backtracking to reject bad steps, ngd/NGD-GH-impl.h:57-62.)
-            fallback = solve(
+            fallback = solve_assoc(
                 state.precision, -vdmu.reshape(-1)
             ).reshape(state.mu.shape)
             dmu = jnp.where(jnp.isfinite(dmu).all(), dmu, fallback)

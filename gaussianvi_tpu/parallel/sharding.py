@@ -37,12 +37,8 @@ from ..inference.graph import (
     gather_marginals,
     scatter_gradients,
 )
-from ..ops.blocktridiag import (
-    BlockTridiag,
-    gbp_covariance_logdet,
-    logdet,
-    solve,
-)
+from ..ops.blocktridiag import BlockTridiag
+from ..ops.parallel_chain import gbp_covariance_logdet_assoc, solve_assoc
 
 
 def make_mesh(dp: int, fp: int, devices=None) -> Mesh:
@@ -110,7 +106,7 @@ def _iteration_local(graph, state, temperature, config):
     mu, precision = state.mu, state.precision
 
     def cost_of(mu_, prec_):
-        cov_d, cov_o, ld = gbp_covariance_logdet(prec_)
+        cov_d, cov_o, ld = gbp_covariance_logdet_assoc(prec_)
         local = jnp.zeros((), mu_.dtype)
         for fb in graph.nonlinear:
             mu_k, cov_k = gather_marginals(fb.start, fb.nb, mu_, cov_d, cov_o)
@@ -155,7 +151,7 @@ def _iteration_local(graph, state, temperature, config):
         vdmu, vddmu = scatter_gradients(lb.start, lb.nb, vd, vdd, vdmu, vddmu)
 
     dprec = vddmu - precision
-    dmu = solve(vddmu, -vdmu.reshape(-1)).reshape(mu.shape)
+    dmu = solve_assoc(vddmu, -vdmu.reshape(-1)).reshape(mu.shape)
 
     # --- backtracking on the globally-reduced cost (lockstep) ---
     def ls_cond(c):
