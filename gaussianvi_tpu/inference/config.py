@@ -20,3 +20,8 @@ class GVIConfig:
     step_size_base: float = 0.55
     step_decay: float = 0.75
     stop_err: float = 1e-5
+    # chain-recurrence implementation: "seq" (O(N) depth, least total work),
+    # "assoc" (O(log N) depth associative scans, more total work), or "auto"
+    # (assoc for long chains where latency dominates)
+    chain_impl: str = "auto"
+    assoc_threshold: int = 128

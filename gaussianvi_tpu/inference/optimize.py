@@ -33,8 +33,18 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.blocktridiag import BlockTridiag
+from ..ops.blocktridiag import BlockTridiag, gbp_covariance_logdet, solve
 from ..ops.parallel_chain import gbp_covariance_logdet_assoc, solve_assoc
+
+
+def _chain_ops(config, num_states):
+    # static choice of sequential vs log-depth chain kernels
+    use_assoc = config.chain_impl == "assoc" or (
+        config.chain_impl == "auto" and num_states >= config.assoc_threshold
+    )
+    if use_assoc:
+        return gbp_covariance_logdet_assoc, solve_assoc
+    return gbp_covariance_logdet, solve
 from .config import GVIConfig
 from .graph import FactorGraph, GaussianState
 from .gvi import factor_costs, ngd_gradients, prox_gradients
@@ -59,8 +69,9 @@ class _Carry(NamedTuple):
     converged: jnp.ndarray
 
 
-def _cost_of(graph, mu, precision, temperature, temper_costs):
-    cov_diag, cov_off, ld = gbp_covariance_logdet_assoc(precision)
+def _cost_of(graph, mu, precision, temperature, temper_costs,
+             cov_fn=gbp_covariance_logdet):
+    cov_diag, cov_off, ld = cov_fn(precision)
     fc = factor_costs(graph, mu, cov_diag, cov_off, temperature, temper_costs)
     total = jnp.sum(fc) + 0.5 * ld
     return total, fc, cov_diag, cov_off
@@ -78,6 +89,7 @@ def optimize(
         raise ValueError(f"unknown method {method!r}")
     temper_costs = method == "ngd"
     dtype = init_state.mu.dtype
+    cov_fn, solve_fn = _chain_ops(config, init_state.mu.shape[0])
 
     def iteration(carry: _Carry, i_iter):
         state, temperature, is_lowtemp, converged = carry
@@ -90,7 +102,8 @@ def optimize(
         is_lowtemp = jnp.logical_and(is_lowtemp, jnp.logical_not(do_switch))
 
         cost_iter, fc_iter, cov_diag, cov_off = _cost_of(
-            graph, state.mu, state.precision, temperature, temper_costs
+            graph, state.mu, state.precision, temperature, temper_costs,
+            cov_fn,
         )
 
         if method == "ngd":
@@ -98,14 +111,14 @@ def optimize(
                 graph, state.mu, cov_diag, cov_off, temperature
             )
             dprec = vddmu - state.precision
-            dmu = solve_assoc(vddmu, -vdmu.reshape(-1)).reshape(state.mu.shape)
+            dmu = solve_fn(vddmu, -vdmu.reshape(-1)).reshape(state.mu.shape)
             # Vddmu can be indefinite far from the optimum (negative factor
             # curvature, e.g. inside obstacles) and the Cholesky-based
             # Thomas solve then yields NaN; fall back to the current
             # precision as metric — always SPD, still a descent direction.
             # (The reference CG-solves the same indefinite system and relies
             # on backtracking to reject bad steps, ngd/NGD-GH-impl.h:57-62.)
-            fallback = solve_assoc(
+            fallback = solve_fn(
                 state.precision, -vdmu.reshape(-1)
             ).reshape(state.mu.shape)
             dmu = jnp.where(jnp.isfinite(dmu).all(), dmu, fallback)
@@ -138,7 +151,7 @@ def optimize(
             new_mu = state.mu + s * dmu
             new_prec = (state.precision + dprec.scale(s)).symmetrize()
             c, _, _, _ = _cost_of(
-                graph, new_mu, new_prec, temperature, temper_costs
+                graph, new_mu, new_prec, temperature, temper_costs, cov_fn
             )
             return c
 

@@ -1,0 +1,158 @@
+"""Pallas TPU kernel: fused sigma-point quadrature moments.
+
+The hot loop of the framework (SURVEY.md section 7, "Batched nonlinear
+factors + Pallas hot loop").  For a tile of factors the kernel
+
+    1. places sigma points  pts = nodes @ L_k^T + mu_k        (MXU)
+    2. evaluates the cost   phi = cost(pts)                   (VPU)
+    3. reduces all three moments in VMEM:
+           E[phi]                = w . phi
+           E[(x-mu) phi]         = (w*phi) @ (pts - mu)
+           E[(x-mu)(x-mu)^T phi] = (pts-mu)^T diag(w*phi) (pts-mu)
+
+in one pass — the [K, M, d] sigma-point tensor never exists in HBM, and phi
+is evaluated once (the reference's CUDA path launches three kernel types
+over the same points, helpers/CudaOperation.cu:10-60, and its CPU path
+integrates three separate lambdas, ngd/NGDFactorizedBaseGH.h:53-74).
+
+The cost function must be expressible in Pallas-supported jnp ops over a
+[B, d] block of points (all built-in factor models are); arbitrary cost
+functions fall back to the fused-XLA path in factors/moments.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+TILE_K = 8  # factor-axis tile (sublane-aligned)
+
+
+def _moments_kernel(
+    cost_fn, squeezed, nodes_ref, weights_ref, mu_ref, chol_ref, *rest,
+):
+    # pallas passes all inputs first, then outputs
+    param_refs = rest[:-3]
+    e_phi_ref, e_xmu_ref, e_xxt_ref = rest[-3:]
+    nodes = nodes_ref[...]                      # [M, d]
+    w = weights_ref[...]                        # [M]
+    mu = mu_ref[...]                            # [TK, d]
+    chol = chol_ref[...]                        # [TK, d, d]
+    tk = mu.shape[0]
+    m, d = nodes.shape
+    params = tuple(
+        r[..., 0] if sq else r[...]  # 1-D params were lifted to [K, 1]
+        for r, sq in zip(param_refs, squeezed)
+    )
+    # static unroll over the tile: every op is a clean 2-D matmul/reduce
+    # (Mosaic has no mixed batched/unbatched dot_general)
+    for j in range(tk):
+        diff = jnp.dot(
+            nodes, chol[j].T, preferred_element_type=nodes.dtype
+        )                                        # [M, d]
+        pts = diff + mu[j][None, :]
+        phi = cost_fn(pts, *[p[j][None].repeat(m, axis=0) if p.ndim > 1
+                             else jnp.full((m,), p[j], p.dtype)
+                             for p in params])   # [M]
+        wphi = w * phi
+        e_phi_ref[j:j + 1, :] = jnp.sum(wphi)[None, None]
+        # reductions on the VPU in full f32: the MXU's internal bf16 passes
+        # lose ~3 decimal digits on wphi's wide dynamic range (weights span
+        # 1e-6..0.3 in high-degree rules)
+        wd = wphi[:, None] * diff                 # [M, d]
+        e_xmu_ref[j, :] = jnp.sum(wd, axis=0)
+        e_xxt_ref[j, :, :] = jnp.sum(
+            wd[:, :, None] * diff[:, None, :], axis=0
+        )
+
+
+def fused_moments(
+    nodes: jnp.ndarray,
+    weights: jnp.ndarray,
+    mu: jnp.ndarray,
+    cov: jnp.ndarray,
+    cost_fn: Callable[..., jnp.ndarray],
+    params: tuple[jnp.ndarray, ...] = (),
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused (E[phi] [K], E[(x-mu)phi] [K,d], E[(x-mu)(x-mu)^T phi] [K,d,d]).
+
+    ``cost_fn(pts [B, d], *params_rows) -> [B]`` evaluates the factor cost on
+    a block of points; ``params`` is a tuple of arrays with leading K (each
+    repeated per point inside the kernel).
+    """
+    k, d = mu.shape
+    m = nodes.shape[0]
+    chol = jnp.linalg.cholesky(cov)
+
+    # rank-1 blocks can only tile in multiples of 128; lift 1-D params to 2-D
+    squeezed = tuple(p.ndim == 1 for p in params)
+    params = tuple(
+        p[:, None] if sq else p for p, sq in zip(params, squeezed)
+    )
+
+    pad = (-k) % TILE_K
+    if pad:
+        mu = jnp.concatenate([mu, jnp.zeros((pad, d), mu.dtype)])
+        eye = jnp.broadcast_to(jnp.eye(d, dtype=chol.dtype), (pad, d, d))
+        chol = jnp.concatenate([chol, eye])
+        params = tuple(
+            jnp.concatenate([p, jnp.zeros((pad,) + p.shape[1:], p.dtype)])
+            for p in params
+        )
+    kp = k + pad
+
+    kernel = functools.partial(_moments_kernel, cost_fn, squeezed)
+    param_specs = [
+        pl.BlockSpec(
+            (TILE_K,) + p.shape[1:],
+            (lambda i, nd=p.ndim: (i,) + (0,) * (nd - 1)),
+        )
+        for p in params
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(kp // TILE_K,),
+        in_specs=[
+            pl.BlockSpec((m, d), lambda i: (0, 0)),          # nodes (shared)
+            pl.BlockSpec((m,), lambda i: (0,)),              # weights
+            pl.BlockSpec((TILE_K, d), lambda i: (i, 0)),     # mu tile
+            pl.BlockSpec((TILE_K, d, d), lambda i: (i, 0, 0)),
+            *param_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_K, 1), lambda i: (i, 0)),
+            pl.BlockSpec((TILE_K, d), lambda i: (i, 0)),
+            pl.BlockSpec((TILE_K, d, d), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((kp, 1), mu.dtype),
+            jax.ShapeDtypeStruct((kp, d), mu.dtype),
+            jax.ShapeDtypeStruct((kp, d, d), mu.dtype),
+        ],
+        interpret=interpret,
+    )(nodes, weights, mu, chol, *params)
+    e_phi, e_xmu, e_xxt = out
+    return e_phi[:k, 0], e_xmu[:k], e_xxt[:k]
+
+
+def make_batched_cost(cost_fn: Callable, params_struct: Any = None):
+    """Adapt a per-point ``cost_fn(x [d], params)`` to the kernel's block
+    signature ``(pts [B, d], *param_rows [B, ...]) -> [B]`` via vmap."""
+    if params_struct is None:
+        def batched(pts):
+            return jax.vmap(lambda x: cost_fn(x, None))(pts)
+        return batched
+
+    def batched(pts, *params_rows):
+        def one(x, *rows):
+            params = jax.tree.unflatten(params_struct, list(rows))
+            return cost_fn(x, params)
+
+        return jax.vmap(one)(pts, *params_rows)
+
+    return batched

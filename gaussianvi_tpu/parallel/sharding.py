@@ -37,8 +37,17 @@ from ..inference.graph import (
     gather_marginals,
     scatter_gradients,
 )
-from ..ops.blocktridiag import BlockTridiag
+from ..ops.blocktridiag import BlockTridiag, gbp_covariance_logdet, solve
 from ..ops.parallel_chain import gbp_covariance_logdet_assoc, solve_assoc
+
+
+def _chain_ops(config, num_states):
+    use_assoc = config.chain_impl == "assoc" or (
+        config.chain_impl == "auto" and num_states >= config.assoc_threshold
+    )
+    if use_assoc:
+        return gbp_covariance_logdet_assoc, solve_assoc
+    return gbp_covariance_logdet, solve
 
 
 def make_mesh(dp: int, fp: int, devices=None) -> Mesh:
@@ -104,9 +113,10 @@ def _iteration_local(graph, state, temperature, config):
     ``state`` the full (replicated within the fp group) joint state.
     """
     mu, precision = state.mu, state.precision
+    cov_fn, solve_fn = _chain_ops(config, mu.shape[0])
 
     def cost_of(mu_, prec_):
-        cov_d, cov_o, ld = gbp_covariance_logdet_assoc(prec_)
+        cov_d, cov_o, ld = cov_fn(prec_)
         local = jnp.zeros((), mu_.dtype)
         for fb in graph.nonlinear:
             mu_k, cov_k = gather_marginals(fb.start, fb.nb, mu_, cov_d, cov_o)
@@ -151,7 +161,7 @@ def _iteration_local(graph, state, temperature, config):
         vdmu, vddmu = scatter_gradients(lb.start, lb.nb, vd, vdd, vdmu, vddmu)
 
     dprec = vddmu - precision
-    dmu = solve_assoc(vddmu, -vdmu.reshape(-1)).reshape(mu.shape)
+    dmu = solve_fn(vddmu, -vdmu.reshape(-1)).reshape(mu.shape)
 
     # --- backtracking on the globally-reduced cost (lockstep) ---
     def ls_cond(c):
