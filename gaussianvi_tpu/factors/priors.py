@@ -112,6 +112,45 @@ def minimum_acc_prior(
     )
 
 
+def minimum_acc_prior_integral(
+    qc, delta_t: float, num_states: int, nsteps: int = 200, dtype=None
+) -> LinearFactorBatch:
+    """Numerically-integrated variant of the constant-velocity prior.
+
+    The reference ships ``MinimumAccGP_integral`` (Euler-integrated Phi,
+    gp/minimum_acc_prior_integral.h) purely to cross-validate the LTV ODE
+    machinery against the closed forms; here the same check uses the RK4
+    integrator of :func:`ltv_transition_and_gramian` with
+    A = [[0, I], [0, 0]], B = [[0], [chol(Qc)]].
+    """
+    qc = np.atleast_2d(np.asarray(qc, np.float64))
+    d = qc.shape[0]
+    s = 2 * d
+    dtype = dtype or jnp.zeros(0).dtype
+    a = np.zeros((s, s))
+    a[:d, d:] = np.eye(d)
+    b = np.zeros((s, d))
+    b[d:, :] = np.linalg.cholesky(qc)
+    phi, q = ltv_transition_and_gramian(
+        np.broadcast_to(a, (5, s, s)), np.broadcast_to(b, (5, s, d)),
+        delta_t, nsteps,
+    )
+    k = num_states - 1
+    lam = np.zeros((s, 2 * s))
+    lam[:, :s] = -phi
+    lam[:, s:] = np.eye(s)
+    return _as_batch(
+        np.arange(k),
+        np.broadcast_to(lam, (k, s, 2 * s)),
+        np.zeros((k, 2 * s, 2 * s))[:, :s, :],
+        np.zeros((k, 2 * s)),
+        np.broadcast_to(np.linalg.inv(q), (k, s, s)),
+        np.full(k, 0.5),
+        nb=2,
+        dtype=dtype,
+    )
+
+
 # ---------------------------------------------------------------------------
 # LTV-system GP prior
 # ---------------------------------------------------------------------------
