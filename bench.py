@@ -36,8 +36,8 @@ def build_batch(num_problems, num_states, dim_x, gh_degree):
     return stack_problems(graphs, states)
 
 
-def bench_device(device, num_problems=16, num_states=32, dim_x=2,
-                 gh_degree=4, niters=10, repeats=3):
+def bench_device(device, num_problems=64, num_states=32, dim_x=2,
+                 gh_degree=4, niters=10, repeats=2):
     from gaussianvi_tpu.inference import GVIConfig
     from gaussianvi_tpu.inference.optimize import optimize
 
@@ -88,7 +88,7 @@ def main():
 
     vs = rate_dev / rate_cpu if np.isfinite(rate_cpu) and rate_cpu > 0 else 1.0
     print(json.dumps({
-        "metric": "ngd_iters_per_sec_batch16x32states",
+        "metric": "ngd_iters_per_sec_batch64x32states",
         "value": round(rate_dev, 2),
         "unit": "iters/s",
         "vs_baseline": round(vs, 3),
