@@ -15,9 +15,17 @@ One JSON line on stdout.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compile cache: the big jitted programs dominate cold-start
+# wall time (the remote TPU compile helper can take minutes on first use)
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
