@@ -85,12 +85,20 @@ def bench_device(device, num_problems=64, num_states=32, dim_x=2,
 
 
 def main():
+    import sys
+
     tpu_devices = jax.devices()
+    t0 = time.perf_counter()
     rate_dev = bench_device(tpu_devices[0])
+    print(f"[bench] device phase {time.perf_counter() - t0:.0f}s",
+          file=sys.stderr)
 
     try:
         cpu = jax.devices("cpu")[0]
+        t0 = time.perf_counter()
         rate_cpu = bench_device(cpu)
+        print(f"[bench] cpu phase {time.perf_counter() - t0:.0f}s",
+              file=sys.stderr)
     except Exception:
         rate_cpu = float("nan")
 
