@@ -7,4 +7,24 @@ quadrature for per-factor expectations, and Gaussian belief propagation for
 marginal covariances — everything batched over factors and jitted on device.
 """
 
+from .factors import (
+    LinearFactorBatch,
+    NonlinearFactorBatch,
+    make_nonlinear_batch,
+)
+from .inference import (
+    FactorGraph,
+    GaussianState,
+    GVIConfig,
+    GVIHistory,
+    optimize,
+)
+from .ops import BlockTridiag
+
 __version__ = "0.1.0"
+
+__all__ = [
+    "FactorGraph", "GaussianState", "GVIConfig", "GVIHistory", "optimize",
+    "BlockTridiag",
+    "NonlinearFactorBatch", "LinearFactorBatch", "make_nonlinear_batch",
+]

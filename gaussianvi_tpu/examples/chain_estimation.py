@@ -28,6 +28,19 @@ def range_cost(x, params):
     return (r_meas - dist) ** 2 / (2.0 * sig_r_sq)
 
 
+def range_cost_block(pts, beacon, r, sig_r_sq):
+    """Block form of :func:`range_cost` for the fused Pallas kernel.
+
+    Params arrive as flattened dict leaves in key order: beacon, r,
+    sig_r_sq.  Must be a module-level function — factor-batch static
+    metadata is compared by identity when stacking problems.
+    """
+    dim_x = beacon.shape[-1]
+    pos = pts[:, :dim_x]
+    dist = jnp.sqrt(jnp.sum((pos - beacon) ** 2, axis=-1) + 1e-12)
+    return (r - dist) ** 2 / (2.0 * sig_r_sq)
+
+
 def simulate_trajectory(num_states, dim_x, dt, seed=0):
     """Ground-truth constant-velocity trajectory + noisy range measurements."""
     rng = np.random.default_rng(seed)
@@ -79,6 +92,7 @@ def build_chain_estimation(
             "sig_r_sq": jnp.full(num_states, sig_r**2, dtype),
         },
         gh_degree=gh_degree,
+        block_cost=range_cost_block,
         dtype=dtype,
     )
     graph = FactorGraph(

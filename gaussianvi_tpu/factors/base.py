@@ -44,6 +44,10 @@ class NonlinearFactorBatch:
     params: Any                 # pytree, leading K axis on leaves
     cost_fn: Callable[..., jnp.ndarray] = field(metadata=dict(static=True))
     nb: int = field(metadata=dict(static=True), default=1)
+    # optional block-form cost ``(pts [B, d], *param_rows) -> [B]`` enabling
+    # the fused Pallas kernel path (kernels/fused_moments.py); must use only
+    # Pallas-lowerable ops
+    block_cost: Any = field(metadata=dict(static=True), default=None)
 
     @property
     def num_factors(self) -> int:
@@ -62,6 +66,7 @@ def make_nonlinear_batch(
     params: Any = None,
     gh_degree: int = 10,
     kind: str = "sparse",
+    block_cost: Any = None,
     dtype=None,
 ) -> NonlinearFactorBatch:
     """Build a NonlinearFactorBatch with a (dim, degree) quadrature rule."""
@@ -75,6 +80,7 @@ def make_nonlinear_batch(
         params=params,
         cost_fn=cost_fn,
         nb=nb,
+        block_cost=block_cost,
     )
 
 

@@ -57,6 +57,25 @@ def eval_phi(
     return jax.vmap(per_factor, in_axes=(0, 0))(pts, params)
 
 
+def batch_moments(fb, mu_k, cov_k, use_pallas: bool = False):
+    """Moments for a NonlinearFactorBatch, dispatching to the fused Pallas
+    kernel when the batch carries a block-form cost and the caller opted in
+    (GVIConfig.use_pallas)."""
+    if use_pallas and fb.block_cost is not None:
+        from ..kernels.fused_moments import fused_moments
+
+        leaves = jax.tree.leaves(fb.params) if fb.params is not None else []
+        return fused_moments(
+            fb.nodes, fb.weights, mu_k, cov_k,
+            cost_fn=fb.block_cost, params=tuple(leaves),
+            # no compiled Pallas backend off-TPU: fall back to interpreter
+            interpret=jax.default_backend() != "tpu",
+        )
+    return gh_moments(
+        fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params
+    )
+
+
 def gh_moments(
     nodes: jnp.ndarray,
     weights: jnp.ndarray,

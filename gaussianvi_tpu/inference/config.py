@@ -25,3 +25,6 @@ class GVIConfig:
     # (assoc for long chains where latency dominates)
     chain_impl: str = "auto"
     assoc_threshold: int = 128
+    # use the fused Pallas moments kernel for factor batches that provide a
+    # block-form cost (NonlinearFactorBatch.block_cost)
+    use_pallas: bool = False

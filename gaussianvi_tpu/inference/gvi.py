@@ -73,6 +73,7 @@ def ngd_gradients(
     cov_diag: jnp.ndarray,
     cov_off: jnp.ndarray,
     temperature,
+    use_pallas: bool = False,
 ) -> tuple[jnp.ndarray, BlockTridiag]:
     """Assemble joint (Vdmu [N,s], Vddmu block-tridiag).
 
@@ -84,9 +85,7 @@ def ngd_gradients(
     vddmu_joint = BlockTridiag.zeros(n, s, mu.dtype)
     for fb in graph.nonlinear:
         mu_k, cov_k = gather_marginals(fb.start, fb.nb, mu, cov_diag, cov_off)
-        e_phi, e_xmu, e_xxt = mm.gh_moments(
-            fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params
-        )
+        e_phi, e_xmu, e_xxt = mm.batch_moments(fb, mu_k, cov_k, use_pallas)
         vdmu, vddmu = mm.ngd_local_gradients(e_phi, e_xmu, e_xxt, cov_k, temperature)
         vdmu_joint, vddmu_joint = scatter_gradients(
             fb.start, fb.nb, vdmu, vddmu, vdmu_joint, vddmu_joint

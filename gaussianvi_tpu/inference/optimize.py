@@ -108,7 +108,8 @@ def optimize(
 
         if method == "ngd":
             vdmu, vddmu = ngd_gradients(
-                graph, state.mu, cov_diag, cov_off, temperature
+                graph, state.mu, cov_diag, cov_off, temperature,
+                config.use_pallas,
             )
             dprec = vddmu - state.precision
             dmu = solve_fn(vddmu, -vdmu.reshape(-1)).reshape(state.mu.shape)

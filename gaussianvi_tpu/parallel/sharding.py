@@ -80,6 +80,7 @@ def _graph_specs(graph: FactorGraph, batched: bool):
             params=jax.tree.map(lambda _: P(*dp, "fp"), fb.params),
             cost_fn=fb.cost_fn,
             nb=fb.nb,
+            block_cost=fb.block_cost,
         )
 
     def lin_spec(lb):
