@@ -60,7 +60,12 @@ def eval_phi(
 def batch_moments(fb, mu_k, cov_k, use_pallas: bool = False):
     """Moments for a NonlinearFactorBatch, dispatching to the fused Pallas
     kernel when the batch carries a block-form cost and the caller opted in
-    (GVIConfig.use_pallas)."""
+    (GVIConfig.use_pallas).
+
+    Limitation: the Pallas path does not yet compose with an outer
+    ``jax.vmap`` over problems (pallas_call's batching rule emits
+    non-tileable block shapes); batched/sharded drivers use the XLA path.
+    """
     if use_pallas and fb.block_cost is not None:
         from ..kernels.fused_moments import fused_moments
 

@@ -107,8 +107,9 @@ def _state_spec(batched: bool):
     return GaussianState(P(*dp), BlockTridiag(P(*dp), P(*dp)))
 
 
-def _iteration_local(graph, state, temperature, config):
-    """One NGD iteration on the local shard; factor reductions psum over fp.
+def _iteration_local(graph, state, temperature, config, method="ngd"):
+    """One NGD/prox iteration on the local shard; factor reductions psum over
+    fp.
 
     Runs inside shard_map: ``graph`` holds this device's factor shard,
     ``state`` the full (replicated within the fp group) joint state.
@@ -138,31 +139,67 @@ def _iteration_local(graph, state, temperature, config):
 
     cost_iter, cov_diag, cov_off = cost_of(mu, precision)
 
-    # --- factor-parallel gradient assembly: local scatter + psum over fp ---
-    n, s = mu.shape
-    vdmu = jnp.zeros_like(mu)
-    vddmu = BlockTridiag.zeros(n, s, mu.dtype)
-    for fb in graph.nonlinear:
-        mu_k, cov_k = gather_marginals(fb.start, fb.nb, mu, cov_diag, cov_off)
-        e_phi, e_xmu, e_xxt = mm.gh_moments(
-            fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params
-        )
-        vd, vdd = mm.ngd_local_gradients(e_phi, e_xmu, e_xxt, cov_k, temperature)
-        vdmu, vddmu = scatter_gradients(fb.start, fb.nb, vd, vdd, vdmu, vddmu)
-    vdmu = lax.psum(vdmu, "fp")
-    vddmu = BlockTridiag(
-        lax.psum(vddmu.diag, "fp"), lax.psum(vddmu.off, "fp")
-    )
-    for lb in graph.linear:
-        mu_k, _ = gather_marginals(lb.start, lb.nb, mu, cov_diag, cov_off)
-        vd, vdd = mm.linear_local_gradients(
-            lb.lam, lb.psi, lb.target_mu, lb.target_prec, lb.constant,
-            mu_k, temperature,
-        )
-        vdmu, vddmu = scatter_gradients(lb.start, lb.nb, vd, vdd, vdmu, vddmu)
+    if method == "prox":
+        # JKO pseudo-gradients: per-factor (no joint solve); nonlinear
+        # contributions sharded over fp, linear replicated
+        from ..inference.gvi import prox_gradients
+        from .. inference.graph import FactorGraph as _FG
 
-    dprec = vddmu - precision
-    dmu = solve_fn(vddmu, -vdmu.reshape(-1)).reshape(mu.shape)
+        nl_graph = _FG(
+            num_states=graph.num_states, state_dim=graph.state_dim,
+            nonlinear=graph.nonlinear, linear=(),
+        )
+        lin_graph = _FG(
+            num_states=graph.num_states, state_dim=graph.state_dim,
+            nonlinear=(), linear=graph.linear,
+        )
+        step0 = config.step_size_base
+        dmu_nl, dprec_nl = prox_gradients(
+            nl_graph, mu, cov_diag, cov_off, step0
+        )
+        dmu = lax.psum(dmu_nl, "fp")
+        dprec = BlockTridiag(
+            lax.psum(dprec_nl.diag, "fp"), lax.psum(dprec_nl.off, "fp")
+        )
+        dmu_l, dprec_l = prox_gradients(
+            lin_graph, mu, cov_diag, cov_off, step0
+        )
+        dmu = dmu + dmu_l
+        dprec = dprec + dprec_l
+    else:
+        # --- factor-parallel NGD assembly: local scatter + psum over fp ---
+        n, s = mu.shape
+        vdmu = jnp.zeros_like(mu)
+        vddmu = BlockTridiag.zeros(n, s, mu.dtype)
+        for fb in graph.nonlinear:
+            mu_k, cov_k = gather_marginals(
+                fb.start, fb.nb, mu, cov_diag, cov_off
+            )
+            e_phi, e_xmu, e_xxt = mm.gh_moments(
+                fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params
+            )
+            vd, vdd = mm.ngd_local_gradients(
+                e_phi, e_xmu, e_xxt, cov_k, temperature
+            )
+            vdmu, vddmu = scatter_gradients(
+                fb.start, fb.nb, vd, vdd, vdmu, vddmu
+            )
+        vdmu = lax.psum(vdmu, "fp")
+        vddmu = BlockTridiag(
+            lax.psum(vddmu.diag, "fp"), lax.psum(vddmu.off, "fp")
+        )
+        for lb in graph.linear:
+            mu_k, _ = gather_marginals(lb.start, lb.nb, mu, cov_diag, cov_off)
+            vd, vdd = mm.linear_local_gradients(
+                lb.lam, lb.psi, lb.target_mu, lb.target_prec, lb.constant,
+                mu_k, temperature,
+            )
+            vdmu, vddmu = scatter_gradients(
+                lb.start, lb.nb, vd, vdd, vdmu, vddmu
+            )
+
+        dprec = vddmu - precision
+        dmu = solve_fn(vddmu, -vdmu.reshape(-1)).reshape(mu.shape)
 
     # --- backtracking on the globally-reduced cost (lockstep) ---
     def ls_cond(c):
@@ -205,7 +242,8 @@ def _iteration_local(graph, state, temperature, config):
     return GaussianState(acc_mu, acc_prec), cost_iter
 
 
-def sharded_ngd_step(graph_b, state_b, config, mesh: Mesh, temperature=1.0):
+def sharded_ngd_step(graph_b, state_b, config, mesh: Mesh, temperature=1.0,
+                     method: str = "ngd"):
     """One full NGD training step, SPMD over (dp, fp).
 
     ``graph_b``/``state_b`` carry a leading problem axis (sharded over dp);
@@ -227,7 +265,7 @@ def sharded_ngd_step(graph_b, state_b, config, mesh: Mesh, temperature=1.0):
     def step(graph_loc, state_loc):
         def one(graph_i, state_i):
             t = jnp.asarray(temperature, state_i.mu.dtype)
-            return _iteration_local(graph_i, state_i, t, config)
+            return _iteration_local(graph_i, state_i, t, config, method)
 
         return jax.vmap(one)(graph_loc, state_loc)
 

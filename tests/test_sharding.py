@@ -59,6 +59,17 @@ class TestShardedStep:
         assert np.isfinite(np.asarray(costs)).all()
         assert np.isfinite(np.asarray(new_state_b.mu)).all()
 
+    def test_prox_sharded_runs(self, problems):
+        mesh = make_mesh(dp=1, fp=4)
+        graph, init = problems[0]
+        graph_b, state_b = stack_problems([graph], [init])
+        config = GVIConfig(niters=1, step_size_base=0.1)
+        new_state_b, costs = sharded_ngd_step(
+            graph_b, state_b, config, mesh, method="prox"
+        )
+        assert np.isfinite(np.asarray(costs)).all()
+        assert np.isfinite(np.asarray(new_state_b.mu)).all()
+
     def test_dp_only_mesh(self, problems):
         mesh = make_mesh(dp=2, fp=1)
         graphs, states = zip(*problems)
