@@ -1,0 +1,283 @@
+"""Pallas chain kernel: GBP covariance + log det in lanes layout.
+
+The block-tridiagonal recurrences dominate the optimizer's runtime, and as
+XLA ``lax.scan``s they execute ~2N sequential micro-ops with per-op
+dispatch overhead — latency-bound for small blocks.  This kernel runs the
+ENTIRE forward/backward sweep in one Pallas program with the batch axis B
+living on the 128-wide lane dimension:
+
+    diag [B, N, s, s]  ->  kernel layout [N, s, s, B]
+
+Every s x s matrix entry is a [B]-vector, so the whole Cholesky / triangular
+solve / Schur algebra unrolls (statically, s is tiny) into elementwise VPU
+ops over the lanes — B problems march through the chain in lockstep with no
+per-step XLA op overhead.
+
+Outputs match ops.blocktridiag.gbp_covariance_logdet per batch element.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# -- unrolled small-matrix algebra on lists of [B]-vector entries -----------
+
+def _chol(a, s):
+    """Lower Cholesky of an s x s SPD 'lanes matrix' a[i][j] -> L[i][j]."""
+    l = [[None] * s for _ in range(s)]
+    for j in range(s):
+        acc = a[j][j]
+        for k in range(j):
+            acc = acc - l[j][k] * l[j][k]
+        ljj = jnp.sqrt(acc)
+        l[j][j] = ljj
+        inv = 1.0 / ljj
+        for i in range(j + 1, s):
+            acc = a[i][j]
+            for k in range(j):
+                acc = acc - l[i][k] * l[j][k]
+            l[i][j] = acc * inv
+    return l
+
+def _chol_solve_vec(l, b, s):
+    """Solve (L L^T) x = b for one lanes vector b[i]."""
+    y = [None] * s
+    for i in range(s):
+        acc = b[i]
+        for k in range(i):
+            acc = acc - l[i][k] * y[k]
+        y[i] = acc / l[i][i]
+    x = [None] * s
+    for i in reversed(range(s)):
+        acc = y[i]
+        for k in range(i + 1, s):
+            acc = acc - l[k][i] * x[k]
+        x[i] = acc / l[i][i]
+    return x
+
+
+def _matmul(a, b, n, m, p, transpose_a=False):
+    """c[i][j] = sum_k a[i][k] b[k][j] (or a[k][i] when transposed)."""
+    c = [[None] * p for _ in range(n)]
+    for i in range(n):
+        for j in range(p):
+            acc = None
+            for k in range(m):
+                term = (a[k][i] if transpose_a else a[i][k]) * b[k][j]
+                acc = term if acc is None else acc + term
+            c[i][j] = acc
+    return c
+
+
+def _logdet_from_chol(l, s):
+    acc = jnp.log(l[0][0])
+    for j in range(1, s):
+        acc = acc + jnp.log(l[j][j])
+    return 2.0 * acc
+
+
+def _read_mat(ref, i, s):
+    return [[ref[i, a, b, :] for b in range(s)] for a in range(s)]
+
+
+def _write_mat(ref, i, mat, s):
+    for a in range(s):
+        for b in range(s):
+            ref[i, a, b, :] = mat[a][b]
+
+
+def _gbp_kernel(n, s, d_ref, o_ref, covd_ref, covo_ref, ld_ref,
+                fpiv_ref, gpiv_ref):
+    zero = jnp.zeros_like(d_ref[0, 0, 0, :])
+    ld = zero
+
+    # forward pivots F_i = D_i - B_{i-1}^T F_{i-1}^{-1} B_{i-1}
+    m = [[zero for _ in range(s)] for _ in range(s)]
+    for i in range(n):
+        d = _read_mat(d_ref, i, s)
+        piv = [[d[a][b] + m[a][b] for b in range(s)] for a in range(s)]
+        _write_mat(fpiv_ref, i, piv, s)
+        l = _chol(piv, s)
+        ld = ld + _logdet_from_chol(l, s)
+        if i < n - 1:
+            off = _read_mat(o_ref, i, s)
+            # X = F_i^{-1} B_i, column by column
+            x = [[None] * s for _ in range(s)]
+            for col in range(s):
+                b_col = [off[r][col] for r in range(s)]
+                sol = _chol_solve_vec(l, b_col, s)
+                for r in range(s):
+                    x[r][col] = sol[r]
+            # m_{i+1} = -B_i^T X
+            btx = _matmul(off, x, s, s, s, transpose_a=True)
+            m = [[-btx[a][b] for b in range(s)] for a in range(s)]
+
+    ld_ref[0, :] = ld
+
+    # backward pivots G_i = D_i - B_i G_{i+1}^{-1} B_i^T
+    m = [[zero for _ in range(s)] for _ in range(s)]
+    for i in range(n - 1, -1, -1):
+        d = _read_mat(d_ref, i, s)
+        piv = [[d[a][b] + m[a][b] for b in range(s)] for a in range(s)]
+        _write_mat(gpiv_ref, i, piv, s)
+        if i > 0:
+            off = _read_mat(o_ref, i - 1, s)  # B_{i-1}
+            l = _chol(piv, s)
+            # X = G_i^{-1} B_{i-1}^T
+            x = [[None] * s for _ in range(s)]
+            for col in range(s):
+                b_col = [off[col][r] for r in range(s)]  # (B^T) column
+                sol = _chol_solve_vec(l, b_col, s)
+                for r in range(s):
+                    x[r][col] = sol[r]
+            bx = _matmul(off, x, s, s, s)  # B_{i-1} X
+            m = [[-bx[a][b] for b in range(s)] for a in range(s)]
+
+    # edge joints: [[F_i, B_i], [B_i^T, G_{i+1}]] (2s x 2s) inverted
+    for i in range(n - 1):
+        f = _read_mat(fpiv_ref, i, s)
+        g = _read_mat(gpiv_ref, i + 1, s)
+        off = _read_mat(o_ref, i, s)
+        t = 2 * s
+        joint = [[None] * t for _ in range(t)]
+        for a in range(s):
+            for b in range(s):
+                joint[a][b] = f[a][b]
+                joint[a][s + b] = off[a][b]
+                joint[s + a][b] = off[b][a]
+                joint[s + a][s + b] = g[a][b]
+        l = _chol(joint, t)
+        inv = [[None] * t for _ in range(t)]
+        one = jnp.ones_like(zero)
+        for col in range(t):
+            e_col = [one if r == col else zero for r in range(t)]
+            sol = _chol_solve_vec(l, e_col, t)
+            for r in range(t):
+                inv[r][col] = sol[r]
+        # top-left -> cov_diag[i]; top-right -> cov_off[i];
+        # bottom-right of the LAST edge -> cov_diag[n-1]
+        _write_mat(covd_ref, i, [[inv[a][b] for b in range(s)]
+                                 for a in range(s)], s)
+        _write_mat(covo_ref, i, [[inv[a][s + b] for b in range(s)]
+                                 for a in range(s)], s)
+        if i == n - 2:
+            _write_mat(covd_ref, n - 1,
+                       [[inv[s + a][s + b] for b in range(s)]
+                        for a in range(s)], s)
+    if n == 1:
+        d = _read_mat(d_ref, 0, s)
+        l = _chol(d, s)
+        inv = [[None] * s for _ in range(s)]
+        one = jnp.ones_like(zero)
+        for col in range(s):
+            e_col = [one if r == col else zero for r in range(s)]
+            sol = _chol_solve_vec(l, e_col, s)
+            for r in range(s):
+                inv[r][col] = sol[r]
+        _write_mat(covd_ref, 0, inv, s)
+
+
+LANE = 128
+
+
+def gbp_covariance_logdet_lanes(
+    diag: jnp.ndarray, off: jnp.ndarray, interpret: bool | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched GBP covariance + logdet: diag [B,N,s,s], off [B,N-1,s,s]
+    -> (cov_diag [B,N,s,s], cov_off [B,N-1,s,s], logdet [B]).
+
+    B is padded to a multiple of 128 (the lane width).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, n, s, _ = diag.shape
+    pad = (-b) % LANE
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(s, dtype=diag.dtype), (pad, n, s, s))
+        diag = jnp.concatenate([diag, eye])
+        off = jnp.concatenate(
+            [off, jnp.zeros((pad, max(n - 1, 0), s, s), off.dtype)]
+        )
+    bp = b + pad
+
+    d_l = jnp.transpose(diag, (1, 2, 3, 0))      # [N, s, s, B]
+    o_l = (
+        jnp.transpose(off, (1, 2, 3, 0))
+        if n > 1 else jnp.zeros((0, s, s, bp), diag.dtype)
+    )
+
+    kernel = functools.partial(_gbp_kernel, n, s)
+    covd, covo, ld = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec((n, s, s, bp), lambda: (0, 0, 0, 0)),
+            pl.BlockSpec((max(n - 1, 1), s, s, bp), lambda: (0, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((n, s, s, bp), lambda: (0, 0, 0, 0)),
+            pl.BlockSpec((max(n - 1, 1), s, s, bp), lambda: (0, 0, 0, 0)),
+            pl.BlockSpec((1, bp), lambda: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, s, s, bp), diag.dtype),
+            jax.ShapeDtypeStruct((max(n - 1, 1), s, s, bp), diag.dtype),
+            jax.ShapeDtypeStruct((1, bp), diag.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, s, s, bp), diag.dtype),
+            pltpu.VMEM((n, s, s, bp), diag.dtype),
+        ],
+        interpret=interpret,
+    )(d_l, o_l if n > 1 else jnp.zeros((1, s, s, bp), diag.dtype))
+
+    cov_diag = jnp.transpose(covd, (3, 0, 1, 2))[:b]
+    cov_off = (
+        jnp.transpose(covo, (3, 0, 1, 2))[:b]
+        if n > 1 else jnp.zeros((b, 0, s, s), diag.dtype)
+    )
+    return cov_diag, cov_off, ld[0, :b]
+
+
+# -- vmap composition --------------------------------------------------------
+# pallas_call's generic batching rule emits non-tileable block shapes, so the
+# batched entry point carries a custom rule that FLATTENS any number of outer
+# vmap axes into the kernel's lane axis — nested vmaps (problems x line-search
+# trials) all land on lanes.
+
+@jax.custom_batching.custom_vmap
+def _lanes_batched(diag, off):
+    return gbp_covariance_logdet_lanes(diag, off)
+
+
+@_lanes_batched.def_vmap
+def _lanes_batched_rule(axis_size, in_batched, diag, off):
+    del axis_size, in_batched
+    b2, b = diag.shape[:2]
+    n, s = diag.shape[2], diag.shape[3]
+    cd, co, ld = _lanes_batched(
+        diag.reshape(b2 * b, n, s, s),
+        off.reshape(b2 * b, max(n - 1, 0), s, s),
+    )
+    out = (
+        cd.reshape(b2, b, n, s, s),
+        co.reshape(b2, b, max(n - 1, 0), s, s),
+        ld.reshape(b2, b),
+    )
+    return out, (True, True, True)
+
+
+def gbp_covariance_logdet_lanes_single(precision):
+    """Drop-in for ops.blocktridiag.gbp_covariance_logdet on ONE problem,
+    lanes-kernel backed.  Efficient only under outer vmap (the batch axes
+    flatten onto the 128 lanes); a truly unbatched call pads to 128 lanes.
+    """
+    cd, co, ld = _lanes_batched(
+        precision.diag[None], precision.off[None]
+    )
+    return cd[0], co[0], ld[0]
