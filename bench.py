@@ -45,12 +45,13 @@ def build_batch(num_problems, num_states, dim_x, gh_degree):
 
 
 def bench_device(device, num_problems=64, num_states=32, dim_x=2,
-                 gh_degree=4, niters=10, repeats=2):
+                 gh_degree=4, niters=10, repeats=2, chain_impl="auto"):
     from gaussianvi_tpu.inference import GVIConfig
     from gaussianvi_tpu.inference.optimize import optimize
 
     config = GVIConfig(
-        niters=niters, niters_lowtemp=niters, step_size_base=0.9
+        niters=niters, niters_lowtemp=niters, step_size_base=0.9,
+        chain_impl=chain_impl,
     )
 
     with jax.default_device(device):
@@ -89,7 +90,12 @@ def main():
 
     tpu_devices = jax.devices()
     t0 = time.perf_counter()
-    rate_dev = bench_device(tpu_devices[0])
+    # the lanes Pallas chain kernel is the TPU-native fast path; the CPU
+    # baseline uses the XLA scan path (its best implementation)
+    on_tpu = tpu_devices[0].platform != "cpu"
+    rate_dev = bench_device(
+        tpu_devices[0], chain_impl="lanes" if on_tpu else "auto"
+    )
     print(f"[bench] device phase {time.perf_counter() - t0:.0f}s",
           file=sys.stderr)
 

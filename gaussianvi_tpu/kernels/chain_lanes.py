@@ -92,58 +92,75 @@ def _write_mat(ref, i, mat, s):
             ref[i, a, b, :] = mat[a][b]
 
 
+def _listify(arr, s):
+    """[s, s, B] traced array -> list-of-lists of [B] vectors."""
+    return [[arr[a, b] for b in range(s)] for a in range(s)]
+
+
+def _stack(mat, s):
+    return jnp.stack([jnp.stack([mat[a][b] for b in range(s)])
+                      for a in range(s)])
+
+
 def _gbp_kernel(n, s, d_ref, o_ref, covd_ref, covo_ref, ld_ref,
                 fpiv_ref, gpiv_ref):
+    """fori_loop over the chain: the s-structure unrolls statically, the
+    N-loop compiles once (Mosaic chokes on a fully unrolled 3N-deep body)."""
     zero = jnp.zeros_like(d_ref[0, 0, 0, :])
-    ld = zero
+    zeros_m = jnp.zeros_like(d_ref[0])
 
-    # forward pivots F_i = D_i - B_{i-1}^T F_{i-1}^{-1} B_{i-1}
-    m = [[zero for _ in range(s)] for _ in range(s)]
-    for i in range(n):
-        d = _read_mat(d_ref, i, s)
-        piv = [[d[a][b] + m[a][b] for b in range(s)] for a in range(s)]
-        _write_mat(fpiv_ref, i, piv, s)
-        l = _chol(piv, s)
+    def fwd_body(i, carry):
+        m_arr, ld = carry
+        piv_l = _listify(d_ref[i] + m_arr, s)
+        fpiv_ref[i] = _stack(piv_l, s)
+        l = _chol(piv_l, s)
         ld = ld + _logdet_from_chol(l, s)
-        if i < n - 1:
-            off = _read_mat(o_ref, i, s)
-            # X = F_i^{-1} B_i, column by column
-            x = [[None] * s for _ in range(s)]
-            for col in range(s):
-                b_col = [off[r][col] for r in range(s)]
-                sol = _chol_solve_vec(l, b_col, s)
-                for r in range(s):
-                    x[r][col] = sol[r]
-            # m_{i+1} = -B_i^T X
-            btx = _matmul(off, x, s, s, s, transpose_a=True)
-            m = [[-btx[a][b] for b in range(s)] for a in range(s)]
+        off = _listify(o_ref[jnp.minimum(i, n - 2)], s)
+        x = [[None] * s for _ in range(s)]
+        for col in range(s):
+            sol = _chol_solve_vec(l, [off[r][col] for r in range(s)], s)
+            for r in range(s):
+                x[r][col] = sol[r]
+        btx = _matmul(off, x, s, s, s, transpose_a=True)
+        m_next = _stack([[-btx[a][b] for b in range(s)]
+                         for a in range(s)], s)
+        keep = i < n - 1
+        return (jnp.where(keep, m_next, m_arr), ld)
 
+    if n > 1:
+        _, ld = jax.lax.fori_loop(0, n, fwd_body, (zeros_m, zero))
+    else:
+        piv_l = _listify(d_ref[0], s)
+        fpiv_ref[0] = d_ref[0]
+        ld = _logdet_from_chol(_chol(piv_l, s), s)
     ld_ref[0, :] = ld
 
-    # backward pivots G_i = D_i - B_i G_{i+1}^{-1} B_i^T
-    m = [[zero for _ in range(s)] for _ in range(s)]
-    for i in range(n - 1, -1, -1):
-        d = _read_mat(d_ref, i, s)
-        piv = [[d[a][b] + m[a][b] for b in range(s)] for a in range(s)]
-        _write_mat(gpiv_ref, i, piv, s)
-        if i > 0:
-            off = _read_mat(o_ref, i - 1, s)  # B_{i-1}
-            l = _chol(piv, s)
-            # X = G_i^{-1} B_{i-1}^T
-            x = [[None] * s for _ in range(s)]
-            for col in range(s):
-                b_col = [off[col][r] for r in range(s)]  # (B^T) column
-                sol = _chol_solve_vec(l, b_col, s)
-                for r in range(s):
-                    x[r][col] = sol[r]
-            bx = _matmul(off, x, s, s, s)  # B_{i-1} X
-            m = [[-bx[a][b] for b in range(s)] for a in range(s)]
+    def bwd_body(k, m_arr):
+        i = n - 1 - k
+        piv_l = _listify(d_ref[i] + m_arr, s)
+        gpiv_ref[i] = _stack(piv_l, s)
+        l = _chol(piv_l, s)
+        off = _listify(o_ref[jnp.maximum(i - 1, 0)], s)  # B_{i-1}
+        x = [[None] * s for _ in range(s)]
+        for col in range(s):
+            sol = _chol_solve_vec(l, [off[col][r] for r in range(s)], s)
+            for r in range(s):
+                x[r][col] = sol[r]
+        bx = _matmul(off, x, s, s, s)
+        m_next = _stack([[-bx[a][b] for b in range(s)]
+                         for a in range(s)], s)
+        keep = i > 0
+        return jnp.where(keep, m_next, m_arr)
 
-    # edge joints: [[F_i, B_i], [B_i^T, G_{i+1}]] (2s x 2s) inverted
-    for i in range(n - 1):
-        f = _read_mat(fpiv_ref, i, s)
-        g = _read_mat(gpiv_ref, i + 1, s)
-        off = _read_mat(o_ref, i, s)
+    if n > 1:
+        jax.lax.fori_loop(0, n, bwd_body, zeros_m)
+
+    one = jnp.ones_like(zero)
+
+    def edge_body(i, _):
+        f = _listify(fpiv_ref[i], s)
+        g = _listify(gpiv_ref[i + 1], s)
+        off = _listify(o_ref[i], s)
         t = 2 * s
         joint = [[None] * t for _ in range(t)]
         for a in range(s):
@@ -154,33 +171,38 @@ def _gbp_kernel(n, s, d_ref, o_ref, covd_ref, covo_ref, ld_ref,
                 joint[s + a][s + b] = g[a][b]
         l = _chol(joint, t)
         inv = [[None] * t for _ in range(t)]
-        one = jnp.ones_like(zero)
         for col in range(t):
-            e_col = [one if r == col else zero for r in range(t)]
-            sol = _chol_solve_vec(l, e_col, t)
+            sol = _chol_solve_vec(
+                l, [one if r == col else zero for r in range(t)], t
+            )
             for r in range(t):
                 inv[r][col] = sol[r]
-        # top-left -> cov_diag[i]; top-right -> cov_off[i];
-        # bottom-right of the LAST edge -> cov_diag[n-1]
-        _write_mat(covd_ref, i, [[inv[a][b] for b in range(s)]
-                                 for a in range(s)], s)
-        _write_mat(covo_ref, i, [[inv[a][s + b] for b in range(s)]
-                                 for a in range(s)], s)
-        if i == n - 2:
-            _write_mat(covd_ref, n - 1,
-                       [[inv[s + a][s + b] for b in range(s)]
-                        for a in range(s)], s)
-    if n == 1:
-        d = _read_mat(d_ref, 0, s)
-        l = _chol(d, s)
+        covd_ref[i] = _stack([[inv[a][b] for b in range(s)]
+                              for a in range(s)], s)
+        covo_ref[i] = _stack([[inv[a][s + b] for b in range(s)]
+                              for a in range(s)], s)
+
+        @pl.when(i == n - 2)
+        def _():
+            covd_ref[n - 1] = _stack(
+                [[inv[s + a][s + b] for b in range(s)] for a in range(s)], s
+            )
+
+        return 0
+
+    if n > 1:
+        jax.lax.fori_loop(0, n - 1, edge_body, 0)
+    else:
+        d_l = _listify(d_ref[0], s)
+        l = _chol(d_l, s)
         inv = [[None] * s for _ in range(s)]
-        one = jnp.ones_like(zero)
         for col in range(s):
-            e_col = [one if r == col else zero for r in range(s)]
-            sol = _chol_solve_vec(l, e_col, s)
+            sol = _chol_solve_vec(
+                l, [one if r == col else zero for r in range(s)], s
+            )
             for r in range(s):
                 inv[r][col] = sol[r]
-        _write_mat(covd_ref, 0, inv, s)
+        covd_ref[0] = _stack(inv, s)
 
 
 LANE = 128
