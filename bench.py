@@ -99,8 +99,10 @@ def _phase_subprocess(device_kind, chain_impl, timeout_s):
 
 
 def main():
-    # TPU phase: lanes kernel first, scan fallback
-    rate_dev = _phase_subprocess("default", "lanes", 540)
+    # TPU phase: try the lanes kernel (fastest; ~4 min compile when the
+    # remote compile helper is healthy, but its latency is erratic), then
+    # fall back to the reliable scan path
+    rate_dev = _phase_subprocess("default", "lanes", 330)
     if rate_dev is None:
         print("[bench] lanes phase timed out; scan fallback", file=sys.stderr)
         rate_dev = _phase_subprocess("default", "auto", 480)
