@@ -41,9 +41,12 @@ def _chain_ops(config, num_states):
     # static choice of chain kernels: "seq" scans, "assoc" log-depth scans,
     # or the "lanes" Pallas kernel (batch-on-lanes; efficient under vmap)
     if config.chain_impl == "lanes":
-        from ..kernels.chain_lanes import gbp_covariance_logdet_lanes_single
+        from ..kernels.chain_lanes import (
+            gbp_covariance_logdet_lanes_single,
+            solve_lanes_single,
+        )
 
-        return gbp_covariance_logdet_lanes_single, solve
+        return gbp_covariance_logdet_lanes_single, solve_lanes_single
     use_assoc = config.chain_impl == "assoc" or (
         config.chain_impl == "auto" and num_states >= config.assoc_threshold
     )

@@ -266,6 +266,149 @@ def gbp_covariance_logdet_lanes(
     return cov_diag, cov_off, ld[0, :b]
 
 
+def _solve_kernel(n, s, d_ref, o_ref, b_ref, x_ref, fpiv_ref, y_ref):
+    """Block-Thomas solve A x = b in lanes layout (b_ref, x_ref: [N, s, B])."""
+    zeros_m = jnp.zeros_like(d_ref[0])
+
+    def fwd_body(i, m_arr):
+        piv_l = _listify(d_ref[i] + m_arr, s)
+        fpiv_ref[i] = _stack(piv_l, s)
+        l = _chol(piv_l, s)
+        # y_i = b_i - B_{i-1}^T F_{i-1}^{-1} y_{i-1} handled below via
+        # the same sweep: here compute the message for the NEXT pivot
+        off = _listify(o_ref[jnp.minimum(i, n - 2)], s)
+        x = [[None] * s for _ in range(s)]
+        for col in range(s):
+            sol = _chol_solve_vec(l, [off[r][col] for r in range(s)], s)
+            for r in range(s):
+                x[r][col] = sol[r]
+        btx = _matmul(off, x, s, s, s, transpose_a=True)
+        m_next = _stack([[-btx[a][b] for b in range(s)]
+                         for a in range(s)], s)
+        return jnp.where(i < n - 1, m_next, m_arr)
+
+    if n > 1:
+        jax.lax.fori_loop(0, n, fwd_body, zeros_m)
+    else:
+        fpiv_ref[0] = d_ref[0]
+
+    def elim_body(i, _):
+        # y_i = b_i - B_{i-1}^T F_{i-1}^{-1} y_{i-1}
+        piv_l = _listify(fpiv_ref[jnp.maximum(i - 1, 0)], s)
+        l = _chol(piv_l, s)
+        y_prev = [y_ref[i - 1, r] for r in range(s)]
+        sol = _chol_solve_vec(l, y_prev, s)
+        off = _listify(o_ref[jnp.maximum(i - 1, 0)], s)  # B_{i-1}
+        for r in range(s):
+            acc = b_ref[i, r]
+            for k in range(s):
+                acc = acc - off[k][r] * sol[k]
+            y_ref[i, r] = acc
+        return 0
+
+    y_ref[0] = b_ref[0]
+    if n > 1:
+        jax.lax.fori_loop(1, n, elim_body, 0)
+
+    def back_body(k, _):
+        # x_i = F_i^{-1} (y_i - B_i x_{i+1}); the B-term is masked out for
+        # the last state
+        i = n - 1 - k
+        piv_l = _listify(fpiv_ref[i], s)
+        l = _chol(piv_l, s)
+        rhs = [y_ref[i, r] for r in range(s)]
+        off = _listify(o_ref[jnp.minimum(i, n - 2)], s)
+        x_next = [x_ref[jnp.minimum(i + 1, n - 1), r] for r in range(s)]
+        # select, not multiply: x_ref[i+1] is uninitialized scratch on the
+        # first (i = n-1) step and 0 * NaN would poison the result
+        rhs = [
+            jnp.where(
+                i < n - 1,
+                rhs[r] - sum(off[r][c] * x_next[c] for c in range(s)),
+                rhs[r],
+            )
+            for r in range(s)
+        ]
+        sol = _chol_solve_vec(l, rhs, s)
+        for r in range(s):
+            x_ref[i, r] = sol[r]
+        return 0
+
+    jax.lax.fori_loop(0, n, back_body, 0)
+
+
+def solve_lanes(
+    diag: jnp.ndarray, off: jnp.ndarray, b: jnp.ndarray,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Batched SPD block-tridiagonal solve: diag [B,N,s,s], off [B,N-1,s,s],
+    b [B,N,s] -> x [B,N,s], lanes-kernel backed."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bsz, n, s, _ = diag.shape
+    pad = (-bsz) % LANE
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(s, dtype=diag.dtype), (pad, n, s, s))
+        diag = jnp.concatenate([diag, eye])
+        off = jnp.concatenate(
+            [off, jnp.zeros((pad, max(n - 1, 0), s, s), off.dtype)]
+        )
+        b = jnp.concatenate([b, jnp.zeros((pad, n, s), b.dtype)])
+    bp = bsz + pad
+
+    d_l = jnp.transpose(diag, (1, 2, 3, 0))
+    o_l = (
+        jnp.transpose(off, (1, 2, 3, 0))
+        if n > 1 else jnp.zeros((1, s, s, bp), diag.dtype)
+    )
+    b_l = jnp.transpose(b, (1, 2, 0))            # [N, s, B]
+
+    kernel = functools.partial(_solve_kernel, n, s)
+    x_l = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec((n, s, s, bp), lambda: (0, 0, 0, 0)),
+            pl.BlockSpec((max(n - 1, 1), s, s, bp), lambda: (0, 0, 0, 0)),
+            pl.BlockSpec((n, s, bp), lambda: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((n, s, bp), lambda: (0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, s, bp), diag.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n, s, s, bp), diag.dtype),
+            pltpu.VMEM((n, s, bp), diag.dtype),
+        ],
+        interpret=interpret,
+    )(d_l, o_l, b_l)
+    return jnp.transpose(x_l, (2, 0, 1))[:bsz]
+
+
+@jax.custom_batching.custom_vmap
+def _solve_lanes_batched(diag, off, b):
+    return solve_lanes(diag, off, b)
+
+
+@_solve_lanes_batched.def_vmap
+def _solve_lanes_rule(axis_size, in_batched, diag, off, b):
+    del axis_size, in_batched
+    b2, bb = diag.shape[:2]
+    n, s = diag.shape[2], diag.shape[3]
+    x = _solve_lanes_batched(
+        diag.reshape(b2 * bb, n, s, s),
+        off.reshape(b2 * bb, max(n - 1, 0), s, s),
+        b.reshape(b2 * bb, n, s),
+    )
+    return x.reshape(b2, bb, n, s), True
+
+
+def solve_lanes_single(precision, b):
+    """Drop-in for ops.blocktridiag.solve on one problem (flat rhs [N*s])."""
+    n, s = precision.diag.shape[0], precision.diag.shape[-1]
+    x = _solve_lanes_batched(
+        precision.diag[None], precision.off[None], b.reshape(1, n, s)
+    )
+    return x[0].reshape(b.shape)
+
+
 # -- vmap composition --------------------------------------------------------
 # pallas_call's generic batching rule emits non-tileable block shapes, so the
 # batched entry point carries a custom rule that FLATTENS any number of outer

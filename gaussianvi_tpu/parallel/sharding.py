@@ -42,6 +42,13 @@ from ..ops.parallel_chain import gbp_covariance_logdet_assoc, solve_assoc
 
 
 def _chain_ops(config, num_states):
+    if config.chain_impl == "lanes":
+        from ..kernels.chain_lanes import (
+            gbp_covariance_logdet_lanes_single,
+            solve_lanes_single,
+        )
+
+        return gbp_covariance_logdet_lanes_single, solve_lanes_single
     use_assoc = config.chain_impl == "assoc" or (
         config.chain_impl == "auto" and num_states >= config.assoc_threshold
     )

@@ -50,3 +50,26 @@ def test_vmap_composition():
         cd0, co0, ld0 = gbp_covariance_logdet(A)
         np.testing.assert_allclose(cd[i], cd0, atol=1e-10)
         np.testing.assert_allclose(ld[i], ld0, atol=1e-10)
+
+
+@pytest.mark.parametrize("b,n,s", [(3, 7, 4), (2, 1, 3), (1, 20, 14)])
+def test_solve_matches(b, n, s):
+    from gaussianvi_tpu.kernels.chain_lanes import solve_lanes
+    from gaussianvi_tpu.ops.blocktridiag import solve
+
+    rng = np.random.default_rng(b + n)
+    diag = rng.standard_normal((b, n, s, s))
+    diag = diag @ diag.transpose(0, 1, 3, 2) + 3 * s * np.eye(s)
+    off = 0.5 * rng.standard_normal((b, max(n - 1, 0), s, s))
+    rhs = rng.standard_normal((b, n, s))
+    x = solve_lanes(
+        jnp.asarray(diag), jnp.asarray(off), jnp.asarray(rhs), interpret=True
+    )
+    for i in range(b):
+        x0 = solve(
+            BlockTridiag(jnp.asarray(diag[i]), jnp.asarray(off[i])),
+            jnp.asarray(rhs[i].reshape(-1)),
+        )
+        np.testing.assert_allclose(
+            np.asarray(x[i]).reshape(-1), x0, atol=1e-10
+        )
