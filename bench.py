@@ -102,7 +102,7 @@ def main():
     # TPU phase: try the lanes kernel (fastest; ~4 min compile when the
     # remote compile helper is healthy, but its latency is erratic), then
     # fall back to the reliable scan path
-    rate_dev = _phase_subprocess("default", "lanes", 330)
+    rate_dev = _phase_subprocess("default", "lanes", 420)
     if rate_dev is None:
         print("[bench] lanes phase timed out; scan fallback", file=sys.stderr)
         rate_dev = _phase_subprocess("default", "auto", 480)
