@@ -102,6 +102,29 @@ def ngd_gradients(
     return vdmu_joint, vddmu_joint
 
 
+def _bw_jko_step(b_k, s_k, cov_k, step_size):
+    """The Bures-Wasserstein JKO proximal step as pseudo-gradients
+    (proxgd/ProxGVIFactorizedBaseGH.h:64-113):
+
+        M = I - s S_k;  Sig_half = M Sig M^T
+        Sig_new = 0.5 Sig_half + s I + 0.5 sqrtm(Sig_half (Sig_half + 4 s I))
+        mu_new  = mu - s b_k
+        Vdmu = (mu_new - mu)/s = -b_k;  Vddmu = (Sig_new^{-1} - Prec_k)/s
+    """
+    d = cov_k.shape[-1]
+    eye = jnp.eye(d, dtype=cov_k.dtype)
+    m = eye[None] - step_size * s_k
+    sig_half = jnp.einsum("kab,kbc,kdc->kad", m, cov_k, m)
+    sig_new = (
+        0.5 * sig_half
+        + step_size * eye[None]
+        + 0.5 * sqrtm_product(sig_half, step_size)
+    )
+    vdmu = -b_k
+    vddmu = (spd_inv(sig_new) - spd_inv(cov_k)) / step_size
+    return vdmu, vddmu
+
+
 def prox_gradients(
     graph: FactorGraph,
     mu: jnp.ndarray,
@@ -109,14 +132,8 @@ def prox_gradients(
     cov_off: jnp.ndarray,
     step_size,
 ) -> tuple[jnp.ndarray, BlockTridiag]:
-    """Per-factor Bures-Wasserstein JKO pseudo-gradients, summed into the joint.
-
-    Per factor (proxgd/ProxGVIFactorizedBaseGH.h:64-113):
-        M = I - s S_k;  Sig_half = M Sig M^T
-        Sig_new = 0.5 Sig_half + s I + 0.5 sqrtm(Sig_half (Sig_half + 4 s I))
-        mu_new  = mu - s b_k
-        Vdmu = (mu_new - mu)/s = -b_k;  Vddmu = (Sig_new^{-1} - Prec_k)/s
-    """
+    """Per-factor Bures-Wasserstein JKO pseudo-gradients, summed into the
+    joint (proxgd/ProxGVI-GH-impl.h:46-86)."""
     n, s_dim = mu.shape
     dmu_joint = jnp.zeros_like(mu)
     dprec_joint = BlockTridiag.zeros(n, s_dim, mu.dtype)
@@ -126,43 +143,22 @@ def prox_gradients(
             fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params
         )
         b_k, s_k = mm.bw_local_gradients(e_phi, e_xmu, e_xxt, cov_k)
-        d = cov_k.shape[-1]
-        eye = jnp.eye(d, dtype=mu.dtype)
-        m = eye[None] - step_size * s_k
-        sig_half = jnp.einsum("kab,kbc,kdc->kad", m, cov_k, m)
-        sig_new = (
-            0.5 * sig_half
-            + step_size * eye[None]
-            + 0.5 * sqrtm_product(sig_half, step_size)
-        )
-        prec_k = spd_inv(cov_k)
-        vdmu = -b_k
-        vddmu = (spd_inv(sig_new) - prec_k) / step_size
+        vdmu, vddmu = _bw_jko_step(b_k, s_k, cov_k, step_size)
         dmu_joint, dprec_joint = scatter_gradients(
             fb.start, fb.nb, vdmu, vddmu, dmu_joint, dprec_joint
         )
     for lb in graph.linear:
-        # Closed-form BW grads (proxgd/ProxGVIFactorizedLinear.h compute_BW_grads;
-        # note: no constant factor, unlike the NGD linear path):
-        # b_k = Lam^T prec_t (Lam mu - Psi mu_t), S_k = Lam^T prec_t Lam
+        # Closed-form BW grads (proxgd/ProxGVIFactorizedLinear.h
+        # compute_BW_grads; note: no constant factor, unlike the NGD linear
+        # path): b_k = Lam^T prec_t (Lam mu - Psi mu_t),
+        # S_k = Lam^T prec_t Lam
         mu_k, cov_k = gather_marginals(lb.start, lb.nb, mu, cov_diag, cov_off)
         resid = jnp.einsum("krd,kd->kr", lb.lam, mu_k) - jnp.einsum(
             "krt,kt->kr", lb.psi, lb.target_mu
         )
         b_k = jnp.einsum("krd,krs,ks->kd", lb.lam, lb.target_prec, resid)
         s_k = jnp.einsum("kra,krs,ksb->kab", lb.lam, lb.target_prec, lb.lam)
-        d = cov_k.shape[-1]
-        eye = jnp.eye(d, dtype=mu.dtype)
-        m = eye[None] - step_size * s_k
-        sig_half = jnp.einsum("kab,kbc,kdc->kad", m, cov_k, m)
-        sig_new = (
-            0.5 * sig_half
-            + step_size * eye[None]
-            + 0.5 * sqrtm_product(sig_half, step_size)
-        )
-        prec_k = spd_inv(cov_k)
-        vdmu = -b_k
-        vddmu = (spd_inv(sig_new) - prec_k) / step_size
+        vdmu, vddmu = _bw_jko_step(b_k, s_k, cov_k, step_size)
         dmu_joint, dprec_joint = scatter_gradients(
             lb.start, lb.nb, vdmu, vddmu, dmu_joint, dprec_joint
         )
