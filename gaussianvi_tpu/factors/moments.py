@@ -67,14 +67,12 @@ def batch_moments(fb, mu_k, cov_k, use_pallas: bool = False):
     non-tileable block shapes); batched/sharded drivers use the XLA path.
     """
     if use_pallas and fb.block_cost is not None:
-        from ..kernels.fused_moments import fused_moments
+        from ..kernels.fused_moments import fused_moments_vmappable
 
         leaves = jax.tree.leaves(fb.params) if fb.params is not None else []
-        return fused_moments(
+        return fused_moments_vmappable(
             fb.nodes, fb.weights, mu_k, cov_k,
             cost_fn=fb.block_cost, params=tuple(leaves),
-            # no compiled Pallas backend off-TPU: fall back to interpreter
-            interpret=jax.default_backend() != "tpu",
         )
     return gh_moments(
         fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params

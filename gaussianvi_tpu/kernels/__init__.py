@@ -1,3 +1,17 @@
-from .fused_moments import fused_moments, make_batched_cost
+from .chain_lanes import (
+    gbp_covariance_logdet_lanes,
+    gbp_covariance_logdet_lanes_single,
+    solve_lanes,
+    solve_lanes_single,
+)
+from .fused_moments import (
+    fused_moments,
+    fused_moments_vmappable,
+    make_batched_cost,
+)
 
-__all__ = ["fused_moments", "make_batched_cost"]
+__all__ = [
+    "fused_moments", "fused_moments_vmappable", "make_batched_cost",
+    "gbp_covariance_logdet_lanes", "gbp_covariance_logdet_lanes_single",
+    "solve_lanes", "solve_lanes_single",
+]

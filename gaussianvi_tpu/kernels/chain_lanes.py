@@ -389,7 +389,9 @@ def _solve_lanes_batched(diag, off, b):
 
 @_solve_lanes_batched.def_vmap
 def _solve_lanes_rule(axis_size, in_batched, diag, off, b):
-    del axis_size, in_batched
+    diag = _ensure_batched(axis_size, diag, in_batched[0])
+    off = _ensure_batched(axis_size, off, in_batched[1])
+    b = _ensure_batched(axis_size, b, in_batched[2])
     b2, bb = diag.shape[:2]
     n, s = diag.shape[2], diag.shape[3]
     x = _solve_lanes_batched(
@@ -420,9 +422,14 @@ def _lanes_batched(diag, off):
     return gbp_covariance_logdet_lanes(diag, off)
 
 
+def _ensure_batched(axis_size, x, batched):
+    return x if batched else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+
 @_lanes_batched.def_vmap
 def _lanes_batched_rule(axis_size, in_batched, diag, off):
-    del axis_size, in_batched
+    diag = _ensure_batched(axis_size, diag, in_batched[0])
+    off = _ensure_batched(axis_size, off, in_batched[1])
     b2, b = diag.shape[:2]
     n, s = diag.shape[2], diag.shape[3]
     cd, co, ld = _lanes_batched(

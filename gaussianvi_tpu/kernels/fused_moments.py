@@ -140,6 +140,71 @@ def fused_moments(
     return e_phi[:k, 0], e_xmu[:k], e_xxt[:k]
 
 
+def fused_moments_vmappable(
+    nodes: jnp.ndarray,
+    weights: jnp.ndarray,
+    mu: jnp.ndarray,
+    cov: jnp.ndarray,
+    cost_fn: Callable[..., jnp.ndarray],
+    params: tuple[jnp.ndarray, ...] = (),
+    interpret: bool | None = None,
+):
+    """`fused_moments` wrapped so outer vmaps flatten onto the factor axis
+    (pallas_call's generic batching rule emits untileable blocks).
+
+    The quadrature rule must be SHARED across any vmapped problem batch
+    (factor batches of one type always use one (dim, degree) rule; stacked
+    problems carry identical copies) — a batched rule axis is collapsed to
+    its first element.
+    """
+    if interpret is None:
+        import jax as _jax
+
+        interpret = _jax.default_backend() != "tpu"
+
+    @jax.custom_batching.custom_vmap
+    def call(nodes_, weights_, mu_, cov_, *params_):
+        return fused_moments(
+            nodes_, weights_, mu_, cov_, cost_fn, tuple(params_),
+            interpret=interpret,
+        )
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, nodes_, weights_, mu_, cov_, *params_):
+        # shared-rule assumption: collapse a batched rule axis
+        nodes_ = nodes_[0] if in_batched[0] else nodes_
+        weights_ = weights_[0] if in_batched[1] else weights_
+
+        # args not batched at this vmap level (e.g. factor params inside the
+        # line-search trial vmap) are broadcast before flattening onto the
+        # factor axis
+        def ensure(x, batched):
+            if batched:
+                return x
+            return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+        args = [
+            ensure(x, flag)
+            for x, flag in zip((mu_, cov_) + params_, in_batched[2:])
+        ]
+        mu_b, cov_b = args[0], args[1]
+        b, k, d = mu_b.shape
+        e_phi, e_xmu, e_xxt = call(
+            nodes_, weights_,
+            mu_b.reshape(b * k, d),
+            cov_b.reshape(b * k, d, d),
+            *[p.reshape((b * k,) + p.shape[2:]) for p in args[2:]],
+        )
+        out = (
+            e_phi.reshape(b, k),
+            e_xmu.reshape(b, k, d),
+            e_xxt.reshape(b, k, d, d),
+        )
+        return out, (True, True, True)
+
+    return call(nodes, weights, mu, cov, *params)
+
+
 def make_batched_cost(cost_fn: Callable, params_struct: Any = None):
     """Adapt a per-point ``cost_fn(x [d], params)`` to the kernel's block
     signature ``(pts [B, d], *param_rows [B, ...]) -> [B]`` via vmap."""
