@@ -1,0 +1,88 @@
+"""On-device smoke test: run the core paths on the real TPU (f32).
+
+The unit suite runs on CPU/f64 for golden parity; this script exercises the
+compiled TPU paths end-to-end — chain-estimation NGD (scan and lanes chain
+kernels), the planner, and the lanes kernels against their scan oracles.
+
+    python scripts/tpu_smoke.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sync(x):
+    return float(jnp.sum(jax.tree.leaves(x)[0]))
+
+
+def main():
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    from gaussianvi_tpu.examples.chain_estimation import build_chain_estimation
+    from gaussianvi_tpu.inference import GVIConfig, optimize
+    from gaussianvi_tpu.kernels.chain_lanes import gbp_covariance_logdet_lanes
+    from gaussianvi_tpu.ops.blocktridiag import (
+        BlockTridiag,
+        gbp_covariance_logdet,
+    )
+
+    failures = []
+
+    # 1. chain estimation, scan chain
+    graph, init, _ = build_chain_estimation(num_states=16, dim_x=1,
+                                            gh_degree=4)
+    cfg = GVIConfig(niters=5, niters_lowtemp=5, step_size_base=0.9)
+    t0 = time.perf_counter()
+    final, hist = optimize(graph, init, cfg, method="ngd")
+    sync(final)
+    cost = np.asarray(hist.cost)
+    ok = np.isfinite(cost).all() and cost[-1] < cost[0]
+    print(f"scan NGD: {time.perf_counter()-t0:.1f}s, cost "
+          f"{cost[0]:.1f}->{cost[-1]:.1f} [{'OK' if ok else 'FAIL'}]")
+    if not ok:
+        failures.append("scan-ngd")
+
+    # 2. same with lanes chain kernel
+    cfg_l = GVIConfig(niters=5, niters_lowtemp=5, step_size_base=0.9,
+                      chain_impl="lanes")
+    t0 = time.perf_counter()
+    final_l, hist_l = optimize(graph, init, cfg_l, method="ngd")
+    sync(final_l)
+    diff = float(jnp.abs(final_l.mu - final.mu).max())
+    ok = diff < 1e-2
+    print(f"lanes NGD: {time.perf_counter()-t0:.1f}s, |mu diff| {diff:.2e} "
+          f"[{'OK' if ok else 'FAIL'}]")
+    if not ok:
+        failures.append("lanes-ngd")
+
+    # 3. lanes kernel vs scan oracle, compiled
+    rng = np.random.default_rng(0)
+    diag = rng.standard_normal((256, 16, 4, 4)).astype("float32")
+    diag = diag @ diag.transpose(0, 1, 3, 2) + 12 * np.eye(4, dtype="float32")
+    off = (0.5 * rng.standard_normal((256, 15, 4, 4))).astype("float32")
+    cd, co, ld = jax.jit(gbp_covariance_logdet_lanes)(
+        jnp.asarray(diag), jnp.asarray(off)
+    )
+    cd0, co0, ld0 = jax.jit(
+        jax.vmap(lambda d, o: gbp_covariance_logdet(BlockTridiag(d, o)))
+    )(jnp.asarray(diag), jnp.asarray(off))
+    err = float(jnp.abs(cd - cd0).max())
+    ok = err < 1e-3
+    print(f"lanes-vs-scan covariance err {err:.2e} [{'OK' if ok else 'FAIL'}]")
+    if not ok:
+        failures.append("lanes-kernel")
+
+    if failures:
+        print(f"FAILURES: {failures}")
+        return 1
+    print("all TPU smoke checks passed")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
