@@ -10,8 +10,11 @@ chain kernels, and XLA vs Pallas fused moments.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp

@@ -9,8 +9,11 @@ kernels), the planner, and the lanes kernels against their scan oracles.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
