@@ -9,6 +9,7 @@ from .recorder import (
     cost_map_1d,
     history_to_arrays,
     save_costmap,
+    save_factor_expectations,
     save_history_csv,
 )
 
@@ -17,4 +18,5 @@ __all__ = [
     "save_checkpoint_orbax", "load_checkpoint_orbax",
     "Timer", "time_fn", "trace",
     "history_to_arrays", "save_history_csv", "cost_map_1d", "save_costmap",
+    "save_factor_expectations",
 ]

@@ -47,6 +47,24 @@ def save_history_csv(history: GVIHistory, prefix: str) -> list[str]:
     return paths
 
 
+def save_factor_expectations(graph, state, prefix: str) -> list[str]:
+    """Final-state per-factor expectation dump (the reference's
+    zk_sdf/Sk_sdf CSVs, DataRecorder.h:120-224): E[phi], E[(x-mu)phi],
+    E[(x-mu)(x-mu)^T phi] for every nonlinear factor batch."""
+    from ..inference.introspect import factor_expectations
+
+    os.makedirs(prefix, exist_ok=True)
+    paths = []
+    for i, exp in enumerate(factor_expectations(graph, state)):
+        for key, arr in exp.items():
+            path = os.path.join(prefix, f"factor{i}_{key}.csv")
+            a = np.asarray(arr)
+            np.savetxt(path, a.reshape(a.shape[0], -1),
+                       delimiter=", ", fmt="%.12g")
+            paths.append(path)
+    return paths
+
+
 def cost_map_1d(
     graph,
     config=None,
