@@ -20,11 +20,15 @@ class GVIConfig:
     step_size_base: float = 0.55
     step_decay: float = 0.75
     stop_err: float = 1e-5
-    # chain-recurrence implementation: "seq" (O(N) depth, least total work),
-    # "assoc" (O(log N) depth associative scans, more total work), or "auto"
-    # (assoc for long chains where latency dominates)
+    # chain-recurrence implementation: "seq" (O(N) depth scans, least total
+    # work — measured fastest XLA path at every N on both CPU and TPU),
+    # "assoc" (O(log N) depth associative scans; ~2.5x seq's cost on TPU at
+    # these block sizes, kept for very long chains / future hardware),
+    # "lanes" (Pallas whole-chain kernel, the TPU fast path; ~6x faster than
+    # seq at N=32 and flat in N), or "auto" (= seq; lanes needs an explicit
+    # opt-in because it interprets off-TPU)
     chain_impl: str = "auto"
-    assoc_threshold: int = 128
+    assoc_threshold: int = 1_000_000  # "auto" no longer switches to assoc
     # use the fused Pallas moments kernel for factor batches that provide a
     # block-form cost (NonlinearFactorBatch.block_cost)
     use_pallas: bool = False
