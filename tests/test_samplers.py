@@ -123,3 +123,60 @@ class TestTarget:
         np.testing.assert_allclose(
             got, barfoot_cost(jnp.asarray([22.0]), None), rtol=1e-12
         )
+
+
+class TestIterativeNUTS:
+    """The while_loop tree builder (program size O(max_depth), not
+    2^max_depth) against the unrolled recursion and exact moments."""
+
+    def test_matches_unrolled_statistically(self):
+        log_density, mean, cov = gaussian_2d_logpdf()
+        kw = dict(num_samples=3000, num_warmup=800, max_depth=5)
+        s_it = np.asarray(nuts(
+            log_density, jnp.zeros(2), jax.random.key(7),
+            tree_method="iterative", **kw,
+        ).samples)
+        s_un = np.asarray(nuts(
+            log_density, jnp.zeros(2), jax.random.key(7),
+            tree_method="unrolled", **kw,
+        ).samples)
+        np.testing.assert_allclose(s_it.mean(0), s_un.mean(0), atol=0.2)
+        np.testing.assert_allclose(
+            np.cov(s_it.T), np.cov(s_un.T), atol=0.45
+        )
+        np.testing.assert_allclose(s_it.mean(0), mean, atol=0.15)
+
+    def test_deep_tree_compiles_and_samples(self):
+        """max_depth=10 would be a 1024-leapfrog unrolled program; the
+        iterative builder compiles it in seconds.  Ill-conditioned Gaussian
+        needs the deep trees."""
+        import time
+
+        scales = jnp.asarray([1.0, 30.0])
+
+        def log_density(x):
+            return -0.5 * jnp.sum((x / scales) ** 2)
+
+        t0 = time.time()
+        res = nuts(
+            log_density, jnp.zeros(2), jax.random.key(8),
+            num_samples=2000, num_warmup=800, max_depth=10,
+        )
+        assert time.time() - t0 < 120.0
+        s = np.asarray(res.samples)
+        np.testing.assert_allclose(s.std(0), np.asarray(scales), rtol=0.25)
+        assert float(res.mean_accept) > 0.5
+
+    def test_multichain_with_diagnostics(self):
+        from gaussianvi_tpu.samplers import nuts_chains, split_rhat, summarize
+
+        log_density, mean, cov = gaussian_2d_logpdf()
+        init = jnp.asarray([[2.0, 2.0], [-2.0, -2.0], [2.0, -2.0], [0.0, 0.0]])
+        res = nuts_chains(
+            log_density, init, jax.random.key(9),
+            num_samples=1500, num_warmup=500, max_depth=5,
+        )
+        assert res.samples.shape == (4, 1500, 2)
+        stats = summarize(np.asarray(res.samples))
+        assert np.all(stats["rhat"] < 1.05)
+        np.testing.assert_allclose(stats["mean"], mean, atol=0.15)
