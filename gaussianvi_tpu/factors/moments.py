@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..ops.blocktridiag import spd_inv
 from ..ops.psd import psd_sqrtm
+from ..ops.smallmat import chol_small
 
 
 def sigma_points(
@@ -40,7 +41,7 @@ def sigma_points(
     Shapes: nodes [M,d], mu [K,d], cov [K,d,d] -> [K,M,d].
     """
     if method == "cholesky":
-        sqrt_p = jnp.linalg.cholesky(cov)
+        sqrt_p = chol_small(cov)  # unrolled for small d; loop-free on TPU
     else:
         sqrt_p = psd_sqrtm(cov)  # symmetric
     # x = L xi per point: out[k,m,:] = L_k @ nodes[m]  (nodes @ L^T)

@@ -72,17 +72,15 @@ class GVIHistory(NamedTuple):
 
 class _Carry(NamedTuple):
     state: GaussianState
+    # covariance + logdet of state.precision, carried so the accepted
+    # line-search trial's chain computation is reused instead of redone at
+    # the top of the next iteration (identical input -> identical result)
+    cov_diag: jnp.ndarray
+    cov_off: jnp.ndarray
+    logdet: jnp.ndarray
     temperature: jnp.ndarray
     is_lowtemp: jnp.ndarray
     converged: jnp.ndarray
-
-
-def _cost_of(graph, mu, precision, temperature, temper_costs,
-             cov_fn=gbp_covariance_logdet):
-    cov_diag, cov_off, ld = cov_fn(precision)
-    fc = factor_costs(graph, mu, cov_diag, cov_off, temperature, temper_costs)
-    total = jnp.sum(fc) + 0.5 * ld
-    return total, fc, cov_diag, cov_off
 
 
 @partial(jax.jit, static_argnames=("config", "method"))
@@ -100,7 +98,8 @@ def optimize(
     cov_fn, solve_fn = _chain_ops(config, init_state.mu.shape[0])
 
     def iteration(carry: _Carry, i_iter):
-        state, temperature, is_lowtemp, converged = carry
+        (state, cov_diag, cov_off, logdet, temperature, is_lowtemp,
+         converged) = carry
 
         # scheduled high-temperature switch (GVI-GH-impl.h:45-51)
         do_switch = jnp.logical_and(i_iter == config.niters_lowtemp, is_lowtemp)
@@ -109,10 +108,12 @@ def optimize(
         )
         is_lowtemp = jnp.logical_and(is_lowtemp, jnp.logical_not(do_switch))
 
-        cost_iter, fc_iter, cov_diag, cov_off = _cost_of(
-            graph, state.mu, state.precision, temperature, temper_costs,
-            cov_fn,
+        # covariance of state.precision is carried in; only the factor
+        # expectations are re-evaluated (the temperature may have switched)
+        fc_iter = factor_costs(
+            graph, state.mu, cov_diag, cov_off, temperature, temper_costs
         )
+        cost_iter = jnp.sum(fc_iter) + 0.5 * logdet
 
         if method == "ngd":
             vdmu, vddmu = ngd_gradients(
@@ -120,16 +121,22 @@ def optimize(
                 config.use_pallas,
             )
             dprec = vddmu - state.precision
-            dmu = solve_fn(vddmu, -vdmu.reshape(-1)).reshape(state.mu.shape)
             # Vddmu can be indefinite far from the optimum (negative factor
             # curvature, e.g. inside obstacles) and the Cholesky-based
             # Thomas solve then yields NaN; fall back to the current
             # precision as metric — always SPD, still a descent direction.
             # (The reference CG-solves the same indefinite system and relies
             # on backtracking to reject bad steps, ngd/NGD-GH-impl.h:57-62.)
-            fallback = solve_fn(
-                state.precision, -vdmu.reshape(-1)
-            ).reshape(state.mu.shape)
+            # Both solves go through ONE batched chain call.
+            rhs = -vdmu.reshape(-1)
+            sols = jax.vmap(
+                lambda d, o: solve_fn(BlockTridiag(d, o), rhs)
+            )(
+                jnp.stack([vddmu.diag, state.precision.diag]),
+                jnp.stack([vddmu.off, state.precision.off]),
+            )
+            dmu = sols[0].reshape(state.mu.shape)
+            fallback = sols[1].reshape(state.mu.shape)
             dmu = jnp.where(jnp.isfinite(dmu).all(), dmu, fallback)
             # trial schedule: base * 0.75^t, t = 1..niters_backtrack+1
             # (GVI-GH-impl.h:76-86; the pow(base, B) line is commented
@@ -155,16 +162,21 @@ def optimize(
         # and the first sufficiently-decreasing one is selected — identical
         # accepted state to the reference's sequential shrink loop
         # (GVI-GH-impl.h:76-118), but a single wide batch on the MXU instead
-        # of up to niters_backtrack+1 serialized evaluations.
+        # of up to niters_backtrack+1 serialized evaluations.  Trial
+        # covariances are returned so the accepted one can be carried into
+        # the next iteration without recomputation.
         def trial_cost(s):
             new_mu = state.mu + s * dmu
             new_prec = (state.precision + dprec.scale(s)).symmetrize()
-            c, _, _, _ = _cost_of(
-                graph, new_mu, new_prec, temperature, temper_costs, cov_fn
+            t_cd, t_co, t_ld = cov_fn(new_prec)
+            fc = factor_costs(
+                graph, new_mu, t_cd, t_co, temperature, temper_costs
             )
-            return c
+            return jnp.sum(fc) + 0.5 * t_ld, t_cd, t_co, t_ld
 
-        trial_costs = jax.vmap(trial_cost)(trials)
+        trial_costs, trial_cds, trial_cos, trial_lds = jax.vmap(trial_cost)(
+            trials
+        )
         ok = trial_costs < cost_iter  # NaN costs compare False
         accepted = jnp.any(ok)
         first_ok = jnp.argmax(ok)
@@ -212,14 +224,31 @@ def optimize(
                 if state.precision.off.size else state.precision.off,
             ),
         )
+        # carry the accepted trial's covariance forward (bitwise what the
+        # next iteration's cov_fn(new_precision) would produce)
+        upd = jnp.logical_and(keep, take)
+        new_cov_diag = jnp.where(upd, trial_cds[sel], cov_diag)
+        new_cov_off = (
+            jnp.where(upd, trial_cos[sel], cov_off)
+            if cov_off.size else cov_off
+        )
+        new_logdet = jnp.where(upd, trial_lds[sel], logdet)
         record = (
             state.mu, cov_diag, cov_off, cost_iter, fc_iter,
             jnp.where(accepted, step_f, jnp.zeros((), dtype)),
         )
-        return _Carry(new_state, new_temperature, new_is_lowtemp, new_converged), record
+        new_carry = _Carry(
+            new_state, new_cov_diag, new_cov_off, new_logdet,
+            new_temperature, new_is_lowtemp, new_converged,
+        )
+        return new_carry, record
 
+    cov_diag0, cov_off0, ld0 = cov_fn(init_state.precision)
     init_carry = _Carry(
         init_state,
+        cov_diag0,
+        cov_off0,
+        ld0,
         jnp.asarray(config.temperature, dtype),
         jnp.ones((), bool),
         jnp.zeros((), bool),

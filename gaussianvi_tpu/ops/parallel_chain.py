@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .blocktridiag import BlockTridiag, spd_inv, spd_solve
+from .smallmat import logdet_spd_small
 
 
 def _compose_lft(a, b):
@@ -100,15 +101,13 @@ def gbp_covariance_logdet_assoc(
     """
     n, s = A.num_states, A.block_dim
     if n == 1:
-        chol = jnp.linalg.cholesky(A.diag[0])
-        ld = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+        ld = logdet_spd_small(A.diag[0])
         return spd_inv(A.diag[0])[None], A.off, ld
 
     f_piv = forward_pivots(A)
     g_piv = backward_pivots(A)
 
-    chol = jnp.linalg.cholesky(f_piv)
-    ld = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)))
+    ld = jnp.sum(logdet_spd_small(f_piv))
 
     joint = jnp.concatenate(
         [
@@ -163,5 +162,4 @@ def solve_assoc(A: BlockTridiag, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def logdet_assoc(A: BlockTridiag) -> jnp.ndarray:
-    chol = jnp.linalg.cholesky(forward_pivots(A))
-    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)))
+    return jnp.sum(logdet_spd_small(forward_pivots(A)))
