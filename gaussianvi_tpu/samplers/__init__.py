@@ -2,7 +2,7 @@ from .hmc import HMCResult, hmc, run_chains
 from .nuts import NUTSResult, nuts, nuts_chains
 from .smc import SMCResult, smc_adaptive
 from .target import make_log_density, neg_log_prob
-from .diagnostics import ess, split_rhat, summarize
+from .diagnostics import ess, rank_normalized_rhat, split_rhat, summarize
 from .validate import validate_posterior
 
 __all__ = [
@@ -11,5 +11,5 @@ __all__ = [
     "smc_adaptive", "SMCResult",
     "neg_log_prob", "make_log_density",
     "validate_posterior",
-    "ess", "split_rhat", "summarize",
+    "ess", "rank_normalized_rhat", "split_rhat", "summarize",
 ]

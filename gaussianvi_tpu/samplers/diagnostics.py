@@ -1,13 +1,17 @@
-"""MCMC convergence diagnostics: split-R-hat and effective sample size.
+"""MCMC convergence diagnostics: split-R-hat (plain, rank-normalized, and
+folded) and effective sample size.
 
-Standard Gelman et al. (BDA3 / Vehtari et al. 2021 rank-normalized variants
-omitted — plain split-R-hat and autocorrelation ESS suffice for the
-posterior-validation harness).  Pure JAX/NumPy, vmapped over dimensions.
+Gelman et al. (BDA3) split-R-hat plus the Vehtari et al. 2021
+rank-normalized variants: ``rank_normalized_rhat`` is robust to heavy tails
+and infinite variance (plain R-hat is not), and the folded version detects
+scale (variance) non-mixing that location-based R-hat misses.  NumPy over
+[C, T, D] sample stacks.
 """
 
 from __future__ import annotations
 
 import numpy as np
+from scipy.special import ndtri as _ndtri  # inverse normal CDF
 
 
 def split_rhat(samples: np.ndarray) -> np.ndarray:
@@ -25,6 +29,32 @@ def split_rhat(samples: np.ndarray) -> np.ndarray:
     within = chain_vars.mean(axis=0)               # [D]
     var_est = (n - 1) / n * within + between / n
     return np.sqrt(var_est / np.maximum(within, 1e-300))
+
+
+def _rank_normalize(samples: np.ndarray) -> np.ndarray:
+    """Fractional-rank normal-score transform (Vehtari et al. 2021 eq. 14):
+    pooled average ranks -> z = Phi^{-1}((rank - 3/8) / (S + 1/4))."""
+    c, t, d = samples.shape
+    flat = samples.reshape(c * t, d)
+    order = np.argsort(flat, axis=0)
+    ranks = np.empty_like(flat)
+    rows = np.arange(1, c * t + 1, dtype=flat.dtype)[:, None]
+    np.put_along_axis(ranks, order, np.broadcast_to(rows, flat.shape), axis=0)
+    # average ties (exact ties are measure-zero for continuous chains; the
+    # Blom offset handles the rest)
+    z = _ndtri((ranks - 0.375) / (c * t + 0.25))
+    return z.reshape(c, t, d)
+
+
+def rank_normalized_rhat(samples: np.ndarray) -> np.ndarray:
+    """Rank-normalized + folded split-R-hat (Vehtari et al. 2021):
+    max of bulk (rank-normalized) and tail (folded rank-normalized) R-hat
+    per dimension.  samples [C, T, D]."""
+    samples = np.asarray(samples)
+    bulk = split_rhat(_rank_normalize(samples))
+    med = np.median(samples.reshape(-1, samples.shape[-1]), axis=0)
+    folded = split_rhat(_rank_normalize(np.abs(samples - med)))
+    return np.maximum(bulk, folded)
 
 
 def ess(samples: np.ndarray, max_lag: int | None = None) -> np.ndarray:
@@ -61,11 +91,12 @@ def ess(samples: np.ndarray, max_lag: int | None = None) -> np.ndarray:
 
 
 def summarize(samples: np.ndarray) -> dict:
-    """Convenience: {'rhat': [D], 'ess': [D], 'mean': [D], 'std': [D]}."""
+    """Convenience: {'rhat', 'rank_rhat', 'ess', 'mean', 'std'}, each [D]."""
     samples = np.asarray(samples)
     flat = samples.reshape(-1, samples.shape[-1])
     return {
         "rhat": split_rhat(samples),
+        "rank_rhat": rank_normalized_rhat(samples),
         "ess": ess(samples),
         "mean": flat.mean(axis=0),
         "std": flat.std(axis=0, ddof=1),

@@ -50,3 +50,44 @@ class TestDiagnostics:
         assert (stats["rhat"] < 1.05).all()
         assert (stats["ess"] > 200).all()
         np.testing.assert_allclose(stats["mean"], 0.0, atol=0.15)
+
+class TestRankNormalizedRhat:
+    def test_iid_chains_near_one(self):
+        from gaussianvi_tpu.samplers import rank_normalized_rhat
+
+        rng = np.random.default_rng(3)
+        samples = rng.standard_normal((4, 2000, 3))
+        r = rank_normalized_rhat(samples)
+        np.testing.assert_allclose(r, 1.0, atol=0.02)
+
+    def test_heavy_tails_stay_finite(self):
+        """Cauchy chains: plain R-hat is undefined-variance territory; the
+        rank-normalized version stays calibrated near 1 for iid chains."""
+        from gaussianvi_tpu.samplers import rank_normalized_rhat
+
+        rng = np.random.default_rng(4)
+        samples = rng.standard_cauchy((4, 2000, 2))
+        r = rank_normalized_rhat(samples)
+        assert np.isfinite(r).all()
+        np.testing.assert_allclose(r, 1.0, atol=0.03)
+
+    def test_scale_mismatch_flagged_by_folding(self):
+        """One chain with 3x the spread but the same mean: location-based
+        split-R-hat barely moves, the folded term catches it."""
+        from gaussianvi_tpu.samplers import rank_normalized_rhat
+
+        rng = np.random.default_rng(5)
+        samples = rng.standard_normal((4, 1000, 1))
+        samples[0] *= 3.0
+        plain = split_rhat(samples)
+        ranked = rank_normalized_rhat(samples)
+        assert ranked.max() > 1.1
+        assert ranked.max() > plain.max()
+
+    def test_location_mismatch_flagged(self):
+        from gaussianvi_tpu.samplers import rank_normalized_rhat
+
+        rng = np.random.default_rng(6)
+        samples = rng.standard_normal((4, 1000, 2))
+        samples[1] += 4.0
+        assert rank_normalized_rhat(samples).max() > 1.5
