@@ -188,7 +188,11 @@ def optimize(
             take = accepted
         else:
             sel = jnp.where(accepted, first_ok, n_trials - 1)
-            take = jnp.ones((), bool)
+            # guard the exhausted-take against a non-finite proposal: the
+            # reference's SPD checks (proxgd/ProxGVIFactorizedBaseGH.h:
+            # 192-215) reject such covariances before they reach the update;
+            # here the equivalent is refusing to adopt a NaN-cost iterate
+            take = jnp.logical_or(accepted, jnp.isfinite(trial_costs[sel]))
         step_f = trials[sel]
         acc_mu = jnp.where(take, state.mu + step_f * dmu, state.mu)
         sel_prec = (state.precision + dprec.scale(step_f)).symmetrize()

@@ -145,3 +145,26 @@ class TestNonlinearChain:
         pos, _, _, _, _ = simulate_trajectory(num_states, dim_x, dt, seed=0)
         est = np.asarray(final.mu[:, :dim_x])
         assert np.abs(est - pos).max() < 0.2
+
+
+class TestProxNaNGuard:
+    def test_prox_state_stays_finite_on_hard_problem(self):
+        """Prox's exhausted line search takes the LAST trial (reference
+        semantics); when even that trial's cost is NaN the state must not
+        be poisoned — the iterate freezes instead (the reference's SPD
+        checks, proxgd/ProxGVIFactorizedBaseGH.h:192-215, play this role
+        upstream)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from gaussianvi_tpu.inference import GVIConfig
+        from gaussianvi_tpu.inference.optimize import optimize
+
+        graph, init, _ = build_chain_estimation(
+            num_states=32, dim_x=2, gh_degree=4, seed=0
+        )
+        # NGD-tuned config: large step, JKO proposals go non-SPD -> NaN costs
+        cfg = GVIConfig(niters=10, niters_lowtemp=10, step_size_base=0.9)
+        st, hist = optimize(graph, init, cfg, method="prox")
+        assert np.isfinite(np.asarray(st.mu)).all()
+        assert np.isfinite(np.asarray(st.precision.diag)).all()
