@@ -20,6 +20,10 @@ class GVIConfig:
     step_size_base: float = 0.55
     step_decay: float = 0.75
     stop_err: float = 1e-5
+    # EMA-smoothed proposal update: accepted iterate is
+    # alpha * new + (1 - alpha) * current (the CUDA variant's set_alpha,
+    # GVI-GH-Cuda-impl.h:112-114; 1.0 = plain update, the reference default)
+    ema_alpha: float = 1.0
     # chain-recurrence implementation: "seq" (O(N) depth scans, least total
     # work — measured fastest XLA path at every N on both CPU and TPU),
     # "assoc" (O(log N) depth associative scans; ~2.5x seq's cost on TPU at

@@ -194,8 +194,18 @@ def optimize(
             # here the equivalent is refusing to adopt a NaN-cost iterate
             take = jnp.logical_or(accepted, jnp.isfinite(trial_costs[sel]))
         step_f = trials[sel]
-        acc_mu = jnp.where(take, state.mu + step_f * dmu, state.mu)
+        # EMA-smoothed proposal (GVI-GH-Cuda-impl.h:112-114):
+        # alpha * new + (1 - alpha) * current; alpha = 1 is plain.  The
+        # accept decision above is made on the UNBLENDED trial cost, as in
+        # the reference.
+        alpha = config.ema_alpha
+        acc_mu = jnp.where(take, state.mu + alpha * step_f * dmu, state.mu)
         sel_prec = (state.precision + dprec.scale(step_f)).symmetrize()
+        if alpha != 1.0:
+            sel_prec = BlockTridiag(
+                alpha * sel_prec.diag + (1.0 - alpha) * state.precision.diag,
+                alpha * sel_prec.off + (1.0 - alpha) * state.precision.off,
+            )
         acc_prec = BlockTridiag(
             jnp.where(take, sel_prec.diag, state.precision.diag),
             jnp.where(take, sel_prec.off, state.precision.off),
@@ -228,15 +238,23 @@ def optimize(
                 if state.precision.off.size else state.precision.off,
             ),
         )
-        # carry the accepted trial's covariance forward (bitwise what the
-        # next iteration's cov_fn(new_precision) would produce)
-        upd = jnp.logical_and(keep, take)
-        new_cov_diag = jnp.where(upd, trial_cds[sel], cov_diag)
-        new_cov_off = (
-            jnp.where(upd, trial_cos[sel], cov_off)
-            if cov_off.size else cov_off
-        )
-        new_logdet = jnp.where(upd, trial_lds[sel], logdet)
+        if alpha != 1.0:
+            # the blended precision differs from the evaluated trial; its
+            # covariance must be computed fresh (one extra chain call, only
+            # when EMA smoothing is enabled)
+            new_cov_diag, new_cov_off, new_logdet = cov_fn(
+                new_state.precision
+            )
+        else:
+            # carry the accepted trial's covariance forward (bitwise what
+            # the next iteration's cov_fn(new_precision) would produce)
+            upd = jnp.logical_and(keep, take)
+            new_cov_diag = jnp.where(upd, trial_cds[sel], cov_diag)
+            new_cov_off = (
+                jnp.where(upd, trial_cos[sel], cov_off)
+                if cov_off.size else cov_off
+            )
+            new_logdet = jnp.where(upd, trial_lds[sel], logdet)
         record = (
             state.mu, cov_diag, cov_off, cost_iter, fc_iter,
             jnp.where(accepted, step_f, jnp.zeros((), dtype)),

@@ -168,3 +168,62 @@ class TestProxNaNGuard:
         st, hist = optimize(graph, init, cfg, method="prox")
         assert np.isfinite(np.asarray(st.mu)).all()
         assert np.isfinite(np.asarray(st.precision.diag)).all()
+
+
+class TestEMAProposal:
+    def test_alpha_one_is_plain_update(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from gaussianvi_tpu.inference import GVIConfig
+        from gaussianvi_tpu.inference.optimize import optimize
+
+        graph, init, _ = build_chain_estimation(
+            num_states=8, dim_x=1, gh_degree=4, seed=1
+        )
+        cfg_plain = GVIConfig(niters=3, step_size_base=0.7)
+        cfg_ema1 = GVIConfig(niters=3, step_size_base=0.7, ema_alpha=1.0)
+        st_a, _ = optimize(graph, init, cfg_plain)
+        st_b, _ = optimize(graph, init, cfg_ema1)
+        np.testing.assert_array_equal(
+            np.asarray(st_a.mu), np.asarray(st_b.mu)
+        )
+
+    def test_half_alpha_halves_first_step(self):
+        """Iteration 1: same accept decision and direction, so
+        mu_ema - mu0 = alpha * (mu_plain - mu0) exactly
+        (GVI-GH-Cuda-impl.h:112-114)."""
+        import numpy as np
+
+        from gaussianvi_tpu.inference import GVIConfig
+        from gaussianvi_tpu.inference.optimize import optimize
+
+        graph, init, _ = build_chain_estimation(
+            num_states=8, dim_x=1, gh_degree=4, seed=1
+        )
+        st_p, _ = optimize(graph, init, GVIConfig(niters=1, step_size_base=0.7))
+        st_e, _ = optimize(
+            graph, init, GVIConfig(niters=1, step_size_base=0.7, ema_alpha=0.5)
+        )
+        mu0 = np.asarray(init.mu)
+        np.testing.assert_allclose(
+            np.asarray(st_e.mu) - mu0,
+            0.5 * (np.asarray(st_p.mu) - mu0),
+            rtol=1e-6,
+        )
+
+    def test_ema_run_converges(self):
+        import numpy as np
+
+        from gaussianvi_tpu.inference import GVIConfig
+        from gaussianvi_tpu.inference.optimize import optimize
+
+        graph, init, _ = build_chain_estimation(
+            num_states=16, dim_x=1, gh_degree=4, seed=2
+        )
+        cfg = GVIConfig(niters=12, niters_lowtemp=12, step_size_base=0.9,
+                        ema_alpha=0.7)
+        st, hist = optimize(graph, init, cfg)
+        c = np.asarray(hist.cost)
+        assert np.isfinite(np.asarray(st.mu)).all()
+        assert c[-1] < c[0]
