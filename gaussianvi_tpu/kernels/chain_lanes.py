@@ -97,17 +97,20 @@ def _stack(mat, s):
 def _gbp_kernel(n, s, d_ref, o_ref, covd_ref, covo_ref, ld_ref,
                 fpiv_ref, gpiv_ref):
     """fori_loop over the chain: the s-structure unrolls statically, the
-    N-loop compiles once (Mosaic chokes on a fully unrolled 3N-deep body)."""
-    zero = jnp.zeros_like(d_ref[0, 0, 0])
-    zeros_m = jnp.zeros_like(d_ref[0])
+    N-loop compiles once (Mosaic chokes on a fully unrolled 3N-deep body).
+
+    Refs carry a leading singleton grid axis (the batch-row chunk); scratch
+    refs do not."""
+    zero = jnp.zeros_like(d_ref[0, 0, 0, 0])
+    zeros_m = jnp.zeros_like(d_ref[0, 0])
 
     def fwd_body(i, carry):
         m_arr, ld = carry
-        piv_l = _listify(d_ref[i] + m_arr, s)
+        piv_l = _listify(d_ref[0, i] + m_arr, s)
         fpiv_ref[i] = _stack(piv_l, s)
         l = _chol(piv_l, s)
         ld = ld + _logdet_from_chol(l, s)
-        off = _listify(o_ref[jnp.minimum(i, n - 2)], s)
+        off = _listify(o_ref[0, jnp.minimum(i, n - 2)], s)
         x = [[None] * s for _ in range(s)]
         for col in range(s):
             sol = _chol_solve_vec(l, [off[r][col] for r in range(s)], s)
@@ -122,17 +125,17 @@ def _gbp_kernel(n, s, d_ref, o_ref, covd_ref, covo_ref, ld_ref,
     if n > 1:
         _, ld = jax.lax.fori_loop(0, n, fwd_body, (zeros_m, zero))
     else:
-        piv_l = _listify(d_ref[0], s)
-        fpiv_ref[0] = d_ref[0]
+        piv_l = _listify(d_ref[0, 0], s)
+        fpiv_ref[0] = d_ref[0, 0]
         ld = _logdet_from_chol(_chol(piv_l, s), s)
-    ld_ref[...] = ld
+    ld_ref[0] = ld
 
     def bwd_body(k, m_arr):
         i = n - 1 - k
-        piv_l = _listify(d_ref[i] + m_arr, s)
+        piv_l = _listify(d_ref[0, i] + m_arr, s)
         gpiv_ref[i] = _stack(piv_l, s)
         l = _chol(piv_l, s)
-        off = _listify(o_ref[jnp.maximum(i - 1, 0)], s)  # B_{i-1}
+        off = _listify(o_ref[0, jnp.maximum(i - 1, 0)], s)  # B_{i-1}
         x = [[None] * s for _ in range(s)]
         for col in range(s):
             sol = _chol_solve_vec(l, [off[col][r] for r in range(s)], s)
@@ -152,7 +155,7 @@ def _gbp_kernel(n, s, d_ref, o_ref, covd_ref, covo_ref, ld_ref,
     def edge_body(i, _):
         f = _listify(fpiv_ref[i], s)
         g = _listify(gpiv_ref[i + 1], s)
-        off = _listify(o_ref[i], s)
+        off = _listify(o_ref[0, i], s)
         t = 2 * s
         joint = [[None] * t for _ in range(t)]
         for a in range(s):
@@ -169,14 +172,14 @@ def _gbp_kernel(n, s, d_ref, o_ref, covd_ref, covo_ref, ld_ref,
             )
             for r in range(t):
                 inv[r][col] = sol[r]
-        covd_ref[i] = _stack([[inv[a][b] for b in range(s)]
-                              for a in range(s)], s)
-        covo_ref[i] = _stack([[inv[a][s + b] for b in range(s)]
-                              for a in range(s)], s)
+        covd_ref[0, i] = _stack([[inv[a][b] for b in range(s)]
+                                 for a in range(s)], s)
+        covo_ref[0, i] = _stack([[inv[a][s + b] for b in range(s)]
+                                 for a in range(s)], s)
 
         @pl.when(i == n - 2)
         def _():
-            covd_ref[n - 1] = _stack(
+            covd_ref[0, n - 1] = _stack(
                 [[inv[s + a][s + b] for b in range(s)] for a in range(s)], s
             )
 
@@ -185,7 +188,7 @@ def _gbp_kernel(n, s, d_ref, o_ref, covd_ref, covo_ref, ld_ref,
     if n > 1:
         jax.lax.fori_loop(0, n - 1, edge_body, 0)
     else:
-        d_l = _listify(d_ref[0], s)
+        d_l = _listify(d_ref[0, 0], s)
         l = _chol(d_l, s)
         inv = [[None] * s for _ in range(s)]
         for col in range(s):
@@ -194,15 +197,44 @@ def _gbp_kernel(n, s, d_ref, o_ref, covd_ref, covo_ref, ld_ref,
             )
             for r in range(s):
                 inv[r][col] = sol[r]
-        covd_ref[0] = _stack(inv, s)
+        covd_ref[0, 0] = _stack(inv, s)
 
 
 LANE = 128
+# VMEM sizing: each grid step holds ~6 [N, s, s, RB, 128] f32 arrays
+# (2 in, 2 out, 2 scratch).  N * s^2 * RB <= 8192 keeps that under the
+# scoped-vmem ceiling (empirical: 8192 = the long-standing N=512/1-row
+# configuration compiles; 12288 OOMs).
+_MAX_ROW_ELEMS = 8192
 
 
-def _pack(x, r):
-    """[..., bp] -> [..., R, 128]: batch element b lives at (b//128, b%128)."""
-    return x.reshape(x.shape[:-1] + (r, LANE))
+def _row_block(n: int, s: int, batch: int) -> int:
+    """Rows of 128 lanes per grid step under the VMEM budget (0 = doesn't
+    fit even one row; callers fall back to the scan path).  Among the fits,
+    picks the largest block that minimizes row padding for ``batch``."""
+    per_row = n * s * s
+    if per_row > _MAX_ROW_ELEMS:
+        return 0
+    cap = min(8, _MAX_ROW_ELEMS // per_row)
+    rows = -(-batch // LANE)
+    return min(
+        range(1, cap + 1),
+        key=lambda rb: (-(-rows // rb) * rb, -rb),
+    )
+
+
+def _pack(x, grid, rb):
+    """[..., bp] -> [G, ..., RB, 128] with the grid-chunk axis leading;
+    batch element b lives at chunk b // (RB*128), row (b // 128) % RB,
+    lane b % 128."""
+    y = x.reshape(x.shape[:-1] + (grid, rb, LANE))
+    return jnp.moveaxis(y, -3, 0)
+
+
+def _unpack(y, bp):
+    """Inverse of _pack: [G, ..., RB, 128] -> [..., bp]."""
+    x = jnp.moveaxis(y, 0, -3)
+    return x.reshape(x.shape[:-3] + (bp,))
 
 
 def gbp_covariance_logdet_lanes(
@@ -217,7 +249,15 @@ def gbp_covariance_logdet_lanes(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, n, s, _ = diag.shape
-    pad = (-b) % LANE
+    rb = _row_block(n, s, b)
+    if rb == 0:
+        # chain too long for the VMEM budget: scan path (still batched)
+        from ..ops.blocktridiag import BlockTridiag, gbp_covariance_logdet
+
+        return jax.vmap(
+            lambda d, o: gbp_covariance_logdet(BlockTridiag(d, o))
+        )(diag, off)
+    pad = (-b) % (LANE * rb)
     if pad:
         eye = jnp.broadcast_to(jnp.eye(s, dtype=diag.dtype), (pad, n, s, s))
         diag = jnp.concatenate([diag, eye])
@@ -225,42 +265,45 @@ def gbp_covariance_logdet_lanes(
             [off, jnp.zeros((pad, max(n - 1, 0), s, s), off.dtype)]
         )
     bp = b + pad
-    r = bp // LANE
+    grid = bp // (LANE * rb)
 
-    d_l = _pack(jnp.transpose(diag, (1, 2, 3, 0)), r)   # [N, s, s, R, 128]
+    # [G, N, s, s, RB, 128]: the grid axis leads so each block's trailing
+    # (RB, 128) equals the full array dims (a Mosaic tiling requirement)
+    d_l = _pack(jnp.transpose(diag, (1, 2, 3, 0)), grid, rb)
     o_l = (
-        _pack(jnp.transpose(off, (1, 2, 3, 0)), r)
-        if n > 1 else jnp.zeros((1, s, s, r, LANE), diag.dtype)
+        _pack(jnp.transpose(off, (1, 2, 3, 0)), grid, rb)
+        if n > 1 else jnp.zeros((grid, 1, s, s, rb, LANE), diag.dtype)
     )
 
     no = max(n - 1, 1)
     kernel = functools.partial(_gbp_kernel, n, s)
     covd, covo, ld = pl.pallas_call(
         kernel,
+        grid=(grid,),
         in_specs=[
-            pl.BlockSpec((n, s, s, r, LANE), lambda: (0, 0, 0, 0, 0)),
-            pl.BlockSpec((no, s, s, r, LANE), lambda: (0, 0, 0, 0, 0)),
+            pl.BlockSpec((1, n, s, s, rb, LANE), lambda g: (g, 0, 0, 0, 0, 0)),
+            pl.BlockSpec((1, no, s, s, rb, LANE), lambda g: (g, 0, 0, 0, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((n, s, s, r, LANE), lambda: (0, 0, 0, 0, 0)),
-            pl.BlockSpec((no, s, s, r, LANE), lambda: (0, 0, 0, 0, 0)),
-            pl.BlockSpec((r, LANE), lambda: (0, 0)),
+            pl.BlockSpec((1, n, s, s, rb, LANE), lambda g: (g, 0, 0, 0, 0, 0)),
+            pl.BlockSpec((1, no, s, s, rb, LANE), lambda g: (g, 0, 0, 0, 0, 0)),
+            pl.BlockSpec((1, rb, LANE), lambda g: (g, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, s, s, r, LANE), diag.dtype),
-            jax.ShapeDtypeStruct((no, s, s, r, LANE), diag.dtype),
-            jax.ShapeDtypeStruct((r, LANE), diag.dtype),
+            jax.ShapeDtypeStruct((grid, n, s, s, rb, LANE), diag.dtype),
+            jax.ShapeDtypeStruct((grid, no, s, s, rb, LANE), diag.dtype),
+            jax.ShapeDtypeStruct((grid, rb, LANE), diag.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n, s, s, r, LANE), diag.dtype),
-            pltpu.VMEM((n, s, s, r, LANE), diag.dtype),
+            pltpu.VMEM((n, s, s, rb, LANE), diag.dtype),
+            pltpu.VMEM((n, s, s, rb, LANE), diag.dtype),
         ],
         interpret=interpret,
     )(d_l, o_l)
 
-    cov_diag = jnp.transpose(covd.reshape(n, s, s, bp), (3, 0, 1, 2))[:b]
+    cov_diag = jnp.transpose(_unpack(covd, bp), (3, 0, 1, 2))[:b]
     cov_off = (
-        jnp.transpose(covo.reshape(no, s, s, bp), (3, 0, 1, 2))[:b]
+        jnp.transpose(_unpack(covo, bp), (3, 0, 1, 2))[:b]
         if n > 1 else jnp.zeros((b, 0, s, s), diag.dtype)
     )
     return cov_diag, cov_off, ld.reshape(bp)[:b]
@@ -268,16 +311,16 @@ def gbp_covariance_logdet_lanes(
 
 def _solve_kernel(n, s, d_ref, o_ref, b_ref, x_ref, fpiv_ref, y_ref):
     """Block-Thomas solve A x = b in lanes layout (b_ref, x_ref:
-    [N, s, R, 128])."""
-    zeros_m = jnp.zeros_like(d_ref[0])
+    [1, N, s, RB, 128] blocks; scratch without the leading grid axis)."""
+    zeros_m = jnp.zeros_like(d_ref[0, 0])
 
     def fwd_body(i, m_arr):
-        piv_l = _listify(d_ref[i] + m_arr, s)
+        piv_l = _listify(d_ref[0, i] + m_arr, s)
         fpiv_ref[i] = _stack(piv_l, s)
         l = _chol(piv_l, s)
         # y_i = b_i - B_{i-1}^T F_{i-1}^{-1} y_{i-1} handled below via
         # the same sweep: here compute the message for the NEXT pivot
-        off = _listify(o_ref[jnp.minimum(i, n - 2)], s)
+        off = _listify(o_ref[0, jnp.minimum(i, n - 2)], s)
         x = [[None] * s for _ in range(s)]
         for col in range(s):
             sol = _chol_solve_vec(l, [off[r][col] for r in range(s)], s)
@@ -291,7 +334,7 @@ def _solve_kernel(n, s, d_ref, o_ref, b_ref, x_ref, fpiv_ref, y_ref):
     if n > 1:
         jax.lax.fori_loop(0, n, fwd_body, zeros_m)
     else:
-        fpiv_ref[0] = d_ref[0]
+        fpiv_ref[0] = d_ref[0, 0]
 
     def elim_body(i, _):
         # y_i = b_i - B_{i-1}^T F_{i-1}^{-1} y_{i-1}
@@ -299,15 +342,15 @@ def _solve_kernel(n, s, d_ref, o_ref, b_ref, x_ref, fpiv_ref, y_ref):
         l = _chol(piv_l, s)
         y_prev = [y_ref[i - 1, r] for r in range(s)]
         sol = _chol_solve_vec(l, y_prev, s)
-        off = _listify(o_ref[jnp.maximum(i - 1, 0)], s)  # B_{i-1}
+        off = _listify(o_ref[0, jnp.maximum(i - 1, 0)], s)  # B_{i-1}
         for r in range(s):
-            acc = b_ref[i, r]
+            acc = b_ref[0, i, r]
             for k in range(s):
                 acc = acc - off[k][r] * sol[k]
             y_ref[i, r] = acc
         return 0
 
-    y_ref[0] = b_ref[0]
+    y_ref[0] = b_ref[0, 0]
     if n > 1:
         jax.lax.fori_loop(1, n, elim_body, 0)
 
@@ -318,8 +361,8 @@ def _solve_kernel(n, s, d_ref, o_ref, b_ref, x_ref, fpiv_ref, y_ref):
         piv_l = _listify(fpiv_ref[i], s)
         l = _chol(piv_l, s)
         rhs = [y_ref[i, r] for r in range(s)]
-        off = _listify(o_ref[jnp.minimum(i, n - 2)], s)
-        x_next = [x_ref[jnp.minimum(i + 1, n - 1), r] for r in range(s)]
+        off = _listify(o_ref[0, jnp.minimum(i, n - 2)], s)
+        x_next = [x_ref[0, jnp.minimum(i + 1, n - 1), r] for r in range(s)]
         # select, not multiply: x_ref[i+1] is uninitialized scratch on the
         # first (i = n-1) step and 0 * NaN would poison the result
         rhs = [
@@ -332,7 +375,7 @@ def _solve_kernel(n, s, d_ref, o_ref, b_ref, x_ref, fpiv_ref, y_ref):
         ]
         sol = _chol_solve_vec(l, rhs, s)
         for r in range(s):
-            x_ref[i, r] = sol[r]
+            x_ref[0, i, r] = sol[r]
         return 0
 
     jax.lax.fori_loop(0, n, back_body, 0)
@@ -347,7 +390,16 @@ def solve_lanes(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     bsz, n, s, _ = diag.shape
-    pad = (-bsz) % LANE
+    rb = _row_block(n, s, bsz)
+    if rb == 0:
+        from ..ops.blocktridiag import BlockTridiag, solve as solve_scan
+
+        return jax.vmap(
+            lambda d, o, rhs: solve_scan(
+                BlockTridiag(d, o), rhs.reshape(-1)
+            ).reshape(n, s)
+        )(diag, off, b)
+    pad = (-bsz) % (LANE * rb)
     if pad:
         eye = jnp.broadcast_to(jnp.eye(s, dtype=diag.dtype), (pad, n, s, s))
         diag = jnp.concatenate([diag, eye])
@@ -356,33 +408,34 @@ def solve_lanes(
         )
         b = jnp.concatenate([b, jnp.zeros((pad, n, s), b.dtype)])
     bp = bsz + pad
-    r = bp // LANE
+    grid = bp // (LANE * rb)
 
-    d_l = _pack(jnp.transpose(diag, (1, 2, 3, 0)), r)
+    d_l = _pack(jnp.transpose(diag, (1, 2, 3, 0)), grid, rb)
     o_l = (
-        _pack(jnp.transpose(off, (1, 2, 3, 0)), r)
-        if n > 1 else jnp.zeros((1, s, s, r, LANE), diag.dtype)
+        _pack(jnp.transpose(off, (1, 2, 3, 0)), grid, rb)
+        if n > 1 else jnp.zeros((grid, 1, s, s, rb, LANE), diag.dtype)
     )
-    b_l = _pack(jnp.transpose(b, (1, 2, 0)), r)  # [N, s, R, 128]
+    b_l = _pack(jnp.transpose(b, (1, 2, 0)), grid, rb)  # [G, N, s, RB, 128]
 
     no = max(n - 1, 1)
     kernel = functools.partial(_solve_kernel, n, s)
     x_l = pl.pallas_call(
         kernel,
+        grid=(grid,),
         in_specs=[
-            pl.BlockSpec((n, s, s, r, LANE), lambda: (0, 0, 0, 0, 0)),
-            pl.BlockSpec((no, s, s, r, LANE), lambda: (0, 0, 0, 0, 0)),
-            pl.BlockSpec((n, s, r, LANE), lambda: (0, 0, 0, 0)),
+            pl.BlockSpec((1, n, s, s, rb, LANE), lambda g: (g, 0, 0, 0, 0, 0)),
+            pl.BlockSpec((1, no, s, s, rb, LANE), lambda g: (g, 0, 0, 0, 0, 0)),
+            pl.BlockSpec((1, n, s, rb, LANE), lambda g: (g, 0, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((n, s, r, LANE), lambda: (0, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, s, r, LANE), diag.dtype),
+        out_specs=pl.BlockSpec((1, n, s, rb, LANE), lambda g: (g, 0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((grid, n, s, rb, LANE), diag.dtype),
         scratch_shapes=[
-            pltpu.VMEM((n, s, s, r, LANE), diag.dtype),
-            pltpu.VMEM((n, s, r, LANE), diag.dtype),
+            pltpu.VMEM((n, s, s, rb, LANE), diag.dtype),
+            pltpu.VMEM((n, s, rb, LANE), diag.dtype),
         ],
         interpret=interpret,
     )(d_l, o_l, b_l)
-    return jnp.transpose(x_l.reshape(n, s, bp), (2, 0, 1))[:bsz]
+    return jnp.transpose(_unpack(x_l, bp), (2, 0, 1))[:bsz]
 
 
 @jax.custom_batching.custom_vmap

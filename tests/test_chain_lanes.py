@@ -12,6 +12,7 @@ from gaussianvi_tpu.kernels.chain_lanes import (
 from gaussianvi_tpu.ops.blocktridiag import (
     BlockTridiag,
     gbp_covariance_logdet,
+    solve,
 )
 from tests.test_blocktridiag import random_spd_btd
 
@@ -73,3 +74,56 @@ def test_solve_matches(b, n, s):
         np.testing.assert_allclose(
             np.asarray(x[i]).reshape(-1), x0, atol=1e-10
         )
+
+
+class TestVMEMChunking:
+    """The kernel grids over batch-row chunks under a VMEM budget and falls
+    back to the scan path when one row doesn't fit."""
+
+    def _problem(self, b, n, s, seed=0):
+        key = jax.random.key(seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        a = jax.random.normal(k1, (b, n, s, s)) * 0.3
+        diag = a @ jnp.swapaxes(a, -1, -2) + 3.0 * jnp.eye(s)
+        off = jax.random.normal(k2, (b, n - 1, s, s)) * 0.2
+        rhs = jax.random.normal(k3, (b, n, s))
+        return diag, off, rhs
+
+    def _reference(self, diag, off, rhs):
+        n, s = diag.shape[1], diag.shape[-1]
+        ref_cov = jax.vmap(
+            lambda d, o: gbp_covariance_logdet(BlockTridiag(d, o))
+        )(diag, off)
+        ref_x = jax.vmap(
+            lambda d, o, r: solve(BlockTridiag(d, o), r.reshape(-1)).reshape(n, s)
+        )(diag, off, rhs)
+        return ref_cov, ref_x
+
+    def test_multi_chunk_grid(self, monkeypatch):
+        from gaussianvi_tpu.kernels import chain_lanes
+
+        # shrink the budget so B=300 (3 rows of 128) needs 3 grid steps
+        monkeypatch.setattr(chain_lanes, "_MAX_ROW_ELEMS", 6 * 4 * 4)
+        assert chain_lanes._row_block(6, 4, 300) == 1
+        diag, off, rhs = self._problem(300, 6, 4)
+        cd, co, ld = chain_lanes.gbp_covariance_logdet_lanes(
+            diag, off, interpret=True
+        )
+        x = chain_lanes.solve_lanes(diag, off, rhs, interpret=True)
+        (rcd, rco, rld), rx = self._reference(diag, off, rhs)
+        np.testing.assert_allclose(cd, rcd, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(ld, rld, rtol=1e-5)
+        np.testing.assert_allclose(x, rx, rtol=1e-4, atol=1e-6)
+
+    def test_scan_fallback_when_chain_too_long(self, monkeypatch):
+        from gaussianvi_tpu.kernels import chain_lanes
+
+        monkeypatch.setattr(chain_lanes, "_MAX_ROW_ELEMS", 10)
+        assert chain_lanes._row_block(6, 4, 8) == 0
+        diag, off, rhs = self._problem(8, 6, 4, seed=1)
+        cd, co, ld = chain_lanes.gbp_covariance_logdet_lanes(diag, off)
+        x = chain_lanes.solve_lanes(diag, off, rhs)
+        (rcd, rco, rld), rx = self._reference(diag, off, rhs)
+        np.testing.assert_allclose(cd, rcd, rtol=1e-6)
+        np.testing.assert_allclose(ld, rld, rtol=1e-6)
+        np.testing.assert_allclose(x, rx, rtol=1e-6)
