@@ -48,7 +48,14 @@ def build_batch(num_problems, num_states, dim_x, gh_degree):
 
 
 def bench_device(device, num_problems=64, num_states=32, dim_x=2,
-                 gh_degree=4, niters=10, repeats=2, chain_impl="auto"):
+                 gh_degree=4, niters=10, repeats=2, chain_impl="auto",
+                 pipeline=8):
+    """Sustained NGD throughput: ``pipeline`` runs are dispatched
+    back-to-back (async) and synced once, so the measurement reflects
+    device steady state rather than the per-call dispatch latency (through
+    this sandbox's remote-TPU tunnel a single call carries a fixed ~24 ms
+    round-trip — a tunnel artifact, not part of the algorithm; production
+    runs are long or queued and never pay it per 10 iterations)."""
     from gaussianvi_tpu.inference import GVIConfig
     from gaussianvi_tpu.inference.optimize import optimize
 
@@ -65,13 +72,14 @@ def bench_device(device, num_problems=64, num_states=32, dim_x=2,
         run = jax.jit(
             jax.vmap(lambda g, s: optimize(g, s, config, method="ngd")[0])
         )
-        _sync(run(graph_b, state_b))  # compile + settle
+        checksum = _sync(run(graph_b, state_b))  # compile + settle
+        assert checksum == checksum  # not NaN
         times = []
         for _ in range(repeats):
             t0 = time.perf_counter()
-            checksum = _sync(run(graph_b, state_b))
-            times.append(time.perf_counter() - t0)
-        assert checksum == checksum  # not NaN
+            outs = [run(graph_b, state_b) for _ in range(pipeline)]
+            _sync(outs[-1])
+            times.append((time.perf_counter() - t0) / pipeline)
         return num_problems * niters / min(times)
 
 

@@ -58,10 +58,11 @@ def eval_phi(
     return jax.vmap(per_factor, in_axes=(0, 0))(pts, params)
 
 
-def batch_moments(fb, mu_k, cov_k, use_pallas: bool = False):
+def batch_moments(fb, mu_k, cov_k, use_pallas: bool = False,
+                  eval_dtype=None):
     """Moments for a NonlinearFactorBatch, dispatching to the fused Pallas
     kernel when the batch carries a block-form cost and the caller opted in
-    (GVIConfig.use_pallas).
+    (GVIConfig.use_pallas).  ``eval_dtype`` applies to the XLA path only.
 
     Limitation: the Pallas path does not yet compose with an outer
     ``jax.vmap`` over problems (pallas_call's batching rule emits
@@ -76,7 +77,7 @@ def batch_moments(fb, mu_k, cov_k, use_pallas: bool = False):
             cost_fn=fb.block_cost, params=tuple(leaves),
         )
     return gh_moments(
-        fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params
+        fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params, eval_dtype
     )
 
 
@@ -87,16 +88,37 @@ def gh_moments(
     cov: jnp.ndarray,
     cost_fn: Callable[..., jnp.ndarray],
     params: Any,
+    eval_dtype=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Fused (E[phi] [K], E[(x-mu)phi] [K,d], E[(x-mu)(x-mu)^T phi] [K,d,d])."""
+    """Fused (E[phi] [K], E[(x-mu)phi] [K,d], E[(x-mu)(x-mu)^T phi] [K,d,d]).
+
+    ``eval_dtype`` (e.g. ``jnp.bfloat16``) evaluates phi at the sigma points
+    in reduced precision; the weighted reductions accumulate in the input
+    dtype (sparse-grid weights are signed, so the sums stay full-precision).
+    """
     pts = sigma_points(nodes, mu, cov)
-    phi = eval_phi(cost_fn, pts, params)          # [K,M]
+    phi = _phi_in(cost_fn, pts, params, eval_dtype, mu.dtype)  # [K,M]
     wphi = phi * weights[None, :]                 # [K,M]
     e_phi = jnp.sum(wphi, axis=-1)
     diff = pts - mu[:, None, :]                   # [K,M,d]
     e_xmu = jnp.einsum("km,kmd->kd", wphi, diff)
     e_xxt = jnp.einsum("km,kmd,kme->kde", wphi, diff, diff)
     return e_phi, e_xmu, e_xxt
+
+
+def _phi_in(cost_fn, pts, params, eval_dtype, out_dtype):
+    """Evaluate phi, optionally in reduced precision, upcast for reduction."""
+    if eval_dtype is None:
+        return eval_phi(cost_fn, pts, params)
+    params_lp = jax.tree.map(
+        lambda p: p.astype(eval_dtype)
+        if hasattr(p, "astype") and jnp.issubdtype(p.dtype, jnp.floating)
+        else p,
+        params,
+    )
+    return eval_phi(
+        cost_fn, pts.astype(eval_dtype), params_lp
+    ).astype(out_dtype)
 
 
 def expectation_phi(
@@ -106,10 +128,11 @@ def expectation_phi(
     cov: jnp.ndarray,
     cost_fn: Callable[..., jnp.ndarray],
     params: Any,
+    eval_dtype=None,
 ) -> jnp.ndarray:
     """E[phi] only (the line-search cost path needs no moments)."""
     pts = sigma_points(nodes, mu, cov)
-    phi = eval_phi(cost_fn, pts, params)
+    phi = _phi_in(cost_fn, pts, params, eval_dtype, mu.dtype)
     return phi @ weights
 
 

@@ -36,3 +36,9 @@ class GVIConfig:
     # use the fused Pallas moments kernel for factor batches that provide a
     # block-form cost (NonlinearFactorBatch.block_cost)
     use_pallas: bool = False
+    # evaluate nonlinear-factor phi at the sigma points in this dtype
+    # ("bfloat16" / "float16"; None = full precision).  Weighted moment
+    # reductions always accumulate in the state dtype.  Opt-in study knob:
+    # bf16 carries ~3 significant digits, which perturbs line-search accept
+    # decisions; NGD path only (prox stays full precision)
+    moments_eval_dtype: str | None = None

@@ -25,6 +25,7 @@ def factor_costs(
     cov_off: jnp.ndarray,
     temperature,
     temper_costs: bool = True,
+    eval_dtype=None,
 ) -> jnp.ndarray:
     """Concatenated per-factor expected costs E[psi_k] (optionally / T).
 
@@ -37,7 +38,8 @@ def factor_costs(
     for fb in graph.nonlinear:
         mu_k, cov_k = gather_marginals(fb.start, fb.nb, mu, cov_diag, cov_off)
         e_phi = mm.expectation_phi(
-            fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params
+            fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params,
+            eval_dtype,
         )
         costs.append(e_phi / t)
     for lb in graph.linear:
@@ -74,6 +76,7 @@ def ngd_gradients(
     cov_off: jnp.ndarray,
     temperature,
     use_pallas: bool = False,
+    eval_dtype=None,
 ) -> tuple[jnp.ndarray, BlockTridiag]:
     """Assemble joint (Vdmu [N,s], Vddmu block-tridiag).
 
@@ -85,7 +88,9 @@ def ngd_gradients(
     vddmu_joint = BlockTridiag.zeros(n, s, mu.dtype)
     for fb in graph.nonlinear:
         mu_k, cov_k = gather_marginals(fb.start, fb.nb, mu, cov_diag, cov_off)
-        e_phi, e_xmu, e_xxt = mm.batch_moments(fb, mu_k, cov_k, use_pallas)
+        e_phi, e_xmu, e_xxt = mm.batch_moments(
+            fb, mu_k, cov_k, use_pallas, eval_dtype
+        )
         vdmu, vddmu = mm.ngd_local_gradients(e_phi, e_xmu, e_xxt, cov_k, temperature)
         vdmu_joint, vddmu_joint = scatter_gradients(
             fb.start, fb.nb, vdmu, vddmu, vdmu_joint, vddmu_joint

@@ -96,6 +96,10 @@ def optimize(
     temper_costs = method == "ngd"
     dtype = init_state.mu.dtype
     cov_fn, solve_fn = _chain_ops(config, init_state.mu.shape[0])
+    eval_dtype = (
+        jnp.dtype(config.moments_eval_dtype)
+        if config.moments_eval_dtype and method == "ngd" else None
+    )
 
     def iteration(carry: _Carry, i_iter):
         (state, cov_diag, cov_off, logdet, temperature, is_lowtemp,
@@ -111,14 +115,15 @@ def optimize(
         # covariance of state.precision is carried in; only the factor
         # expectations are re-evaluated (the temperature may have switched)
         fc_iter = factor_costs(
-            graph, state.mu, cov_diag, cov_off, temperature, temper_costs
+            graph, state.mu, cov_diag, cov_off, temperature, temper_costs,
+            eval_dtype,
         )
         cost_iter = jnp.sum(fc_iter) + 0.5 * logdet
 
         if method == "ngd":
             vdmu, vddmu = ngd_gradients(
                 graph, state.mu, cov_diag, cov_off, temperature,
-                config.use_pallas,
+                config.use_pallas, eval_dtype,
             )
             dprec = vddmu - state.precision
             # Vddmu can be indefinite far from the optimum (negative factor
@@ -170,7 +175,8 @@ def optimize(
             new_prec = (state.precision + dprec.scale(s)).symmetrize()
             t_cd, t_co, t_ld = cov_fn(new_prec)
             fc = factor_costs(
-                graph, new_mu, t_cd, t_co, temperature, temper_costs
+                graph, new_mu, t_cd, t_co, temperature, temper_costs,
+                eval_dtype,
             )
             return jnp.sum(fc) + 0.5 * t_ld, t_cd, t_co, t_ld
 

@@ -227,3 +227,59 @@ class TestEMAProposal:
         c = np.asarray(hist.cost)
         assert np.isfinite(np.asarray(st.mu)).all()
         assert c[-1] < c[0]
+
+
+class TestBF16Moments:
+    def test_bf16_moments_accuracy(self):
+        """bf16 sigma-point evaluation error envelope.
+
+        Finding of the dtype study: bf16 (~3 significant digits) hits
+        catastrophic cancellation in residual-style costs like
+        (r - |x - beacon|)^2 / sig^2 when the residual is small, so
+        per-factor E[phi] error reaches ~10% — bf16 is safe only for
+        well-scaled costs.  This test pins the measured envelope."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from gaussianvi_tpu.examples.chain_estimation import range_cost
+        from gaussianvi_tpu.factors.moments import gh_moments
+        from gaussianvi_tpu.quadrature.table import get_rule
+
+        nodes, weights = (jnp.asarray(a) for a in get_rule(4, 4))
+        k = 8
+        mu = jnp.linspace(1.0, 2.0, 4 * k).reshape(k, 4)
+        cov = jnp.broadcast_to(0.05 * jnp.eye(4), (k, 4, 4))
+        params = {
+            "r": jnp.linspace(2.0, 4.0, k),
+            "beacon": jnp.broadcast_to(jnp.asarray([-1.0, -1.0]), (k, 2)),
+            "sig_r_sq": jnp.full((k,), 0.01),
+        }
+        full = gh_moments(nodes, weights, mu, cov, range_cost, params)
+        low = gh_moments(
+            nodes, weights, mu, cov, range_cost, params,
+            eval_dtype=jnp.bfloat16,
+        )
+        rel = np.abs(np.asarray(low[0]) - np.asarray(full[0])) / np.maximum(
+            np.abs(np.asarray(full[0])), 1e-6
+        )
+        assert rel.max() < 0.2      # envelope: worst ~10% observed
+        assert np.median(rel) < 0.03  # typical factors stay ~1-2%
+
+    def test_bf16_optimizer_converges_same_basin(self):
+        import numpy as np
+
+        from gaussianvi_tpu.inference import GVIConfig
+        from gaussianvi_tpu.inference.optimize import optimize
+
+        graph, init, _ = build_chain_estimation(
+            num_states=16, dim_x=2, gh_degree=4, seed=4
+        )
+        cfg_f = GVIConfig(niters=10, niters_lowtemp=10, step_size_base=0.9)
+        cfg_b = GVIConfig(niters=10, niters_lowtemp=10, step_size_base=0.9,
+                          moments_eval_dtype="bfloat16")
+        st_f, h_f = optimize(graph, init, cfg_f)
+        st_b, h_b = optimize(graph, init, cfg_b)
+        cf, cb = float(h_f.cost[-1]), float(h_b.cost[-1])
+        assert np.isfinite(np.asarray(st_b.mu)).all()
+        # same basin within a few percent of the converged cost
+        assert abs(cb - cf) / abs(cf) < 0.1
