@@ -9,9 +9,11 @@ from .chain_seqpar import (
     pad_off_for_seqpar,
     solve_seqpar,
 )
+from .time_sharding import sharded_time_ngd_step, to_chain_layout
 
 __all__ = [
     "make_mesh", "sharded_ngd_step", "stack_problems",
     "optimize_restarts", "perturb_inits",
     "gbp_covariance_logdet_seqpar", "solve_seqpar", "pad_off_for_seqpar",
+    "sharded_time_ngd_step", "to_chain_layout",
 ]
