@@ -33,6 +33,15 @@ class GVIConfig:
     # opt-in because it interprets off-TPU)
     chain_impl: str = "auto"
     assoc_threshold: int = 1_000_000  # "auto" no longer switches to assoc
+    # line-search evaluation strategy; both select the IDENTICAL iterate
+    # (the first sufficiently-decreasing trial of the same schedule,
+    # GVI-GH-impl.h:76-118):
+    #   "batched" — all niters_backtrack+1 trial steps evaluated as one
+    #               vmapped cost computation (one wide kernel);
+    #   "seq"     — lax.while_loop that stops at the first accepted trial
+    #               (the reference's sequential shrink; evaluates ~1 trial
+    #               per iteration at steady state instead of all 11)
+    linesearch: str = "batched"
     # use the fused Pallas moments kernel for factor batches that provide a
     # block-form cost (NonlinearFactorBatch.block_cost)
     use_pallas: bool = False

@@ -162,14 +162,17 @@ def optimize(
                 1, n_trials + 1, dtype=dtype
             )
 
-        # ---- batched backtracking line search ----
-        # All candidate steps are evaluated in ONE vmapped cost computation
-        # and the first sufficiently-decreasing one is selected — identical
-        # accepted state to the reference's sequential shrink loop
-        # (GVI-GH-impl.h:76-118), but a single wide batch on the MXU instead
-        # of up to niters_backtrack+1 serialized evaluations.  Trial
-        # covariances are returned so the accepted one can be carried into
-        # the next iteration without recomputation.
+        # ---- backtracking line search ----
+        # Both strategies select the IDENTICAL iterate: the first trial of
+        # the schedule whose cost decreases (the reference's sequential
+        # shrink loop, GVI-GH-impl.h:76-118).
+        #   "batched": all candidates in ONE vmapped cost computation — a
+        #     single wide kernel instead of up to n_trials serialized evals;
+        #   "seq": lax.while_loop stopping at the first accepted trial — at
+        #     steady state the search accepts trial 1, so only ~1 chain op +
+        #     quadrature runs instead of n_trials.
+        # Trial covariances are returned so the accepted one can be carried
+        # into the next iteration without recomputation.
         def trial_cost(s):
             new_mu = state.mu + s * dmu
             new_prec = (state.precision + dprec.scale(s)).symmetrize()
@@ -180,25 +183,58 @@ def optimize(
             )
             return jnp.sum(fc) + 0.5 * t_ld, t_cd, t_co, t_ld
 
-        trial_costs, trial_cds, trial_cos, trial_lds = jax.vmap(trial_cost)(
-            trials
-        )
-        ok = trial_costs < cost_iter  # NaN costs compare False
-        accepted = jnp.any(ok)
-        first_ok = jnp.argmax(ok)
+        if config.linesearch == "seq":
+            # do-while: trial 0 evaluated up front, loop stops at the first
+            # decreasing trial (NaN costs compare False); converged problems
+            # stop after one trip so a vmapped batch isn't held hostage by
+            # frozen members
+            c0, cd0, co0, ld0 = trial_cost(trials[0])
+            init_ls = (
+                jnp.asarray(1, jnp.int32), c0 < cost_iter,
+                jnp.asarray(0, jnp.int32), c0, cd0, co0, ld0,
+            )
+
+            def ls_cond(c):
+                t, ok = c[0], c[1]
+                return jnp.logical_and(
+                    jnp.logical_and(t < n_trials, jnp.logical_not(ok)),
+                    jnp.logical_not(converged),
+                )
+
+            def ls_body(c):
+                t = c[0]
+                ci, cdi, coi, ldi = trial_cost(trials[t])
+                return (t + 1, ci < cost_iter, t, ci, cdi, coi, ldi)
+
+            (_, accepted, sel, c_sel, cd_sel, co_sel, ld_sel) = (
+                lax.while_loop(ls_cond, ls_body, init_ls)
+            )
+        elif config.linesearch == "batched":
+            trial_costs, trial_cds, trial_cos, trial_lds = jax.vmap(
+                trial_cost
+            )(trials)
+            ok = trial_costs < cost_iter  # NaN costs compare False
+            accepted = jnp.any(ok)
+            # stop index: first decreasing trial, or the last trial when the
+            # search is exhausted (matches where the sequential loop halts)
+            sel = jnp.where(accepted, jnp.argmax(ok), n_trials - 1)
+            c_sel = trial_costs[sel]
+            cd_sel = trial_cds[sel]
+            co_sel = trial_cos[sel]
+            ld_sel = trial_lds[sel]
+        else:
+            raise ValueError(f"unknown linesearch {config.linesearch!r}")
         # Prox accepts the LAST trial even when the search is exhausted
         # (proxgd/ProxGVI-GH-impl.h:186-192 calls update_proposal before
         # break); NGD keeps the old iterate (GVI-GH-impl.h:100-115).
         if method == "ngd":
-            sel = first_ok
             take = accepted
         else:
-            sel = jnp.where(accepted, first_ok, n_trials - 1)
             # guard the exhausted-take against a non-finite proposal: the
             # reference's SPD checks (proxgd/ProxGVIFactorizedBaseGH.h:
             # 192-215) reject such covariances before they reach the update;
             # here the equivalent is refusing to adopt a NaN-cost iterate
-            take = jnp.logical_or(accepted, jnp.isfinite(trial_costs[sel]))
+            take = jnp.logical_or(accepted, jnp.isfinite(c_sel))
         step_f = trials[sel]
         # EMA-smoothed proposal (GVI-GH-Cuda-impl.h:112-114):
         # alpha * new + (1 - alpha) * current; alpha = 1 is plain.  The
@@ -255,12 +291,12 @@ def optimize(
             # carry the accepted trial's covariance forward (bitwise what
             # the next iteration's cov_fn(new_precision) would produce)
             upd = jnp.logical_and(keep, take)
-            new_cov_diag = jnp.where(upd, trial_cds[sel], cov_diag)
+            new_cov_diag = jnp.where(upd, cd_sel, cov_diag)
             new_cov_off = (
-                jnp.where(upd, trial_cos[sel], cov_off)
+                jnp.where(upd, co_sel, cov_off)
                 if cov_off.size else cov_off
             )
-            new_logdet = jnp.where(upd, trial_lds[sel], logdet)
+            new_logdet = jnp.where(upd, ld_sel, logdet)
         record = (
             state.mu, cov_diag, cov_off, cost_iter, fc_iter,
             jnp.where(accepted, step_f, jnp.zeros((), dtype)),
