@@ -49,7 +49,7 @@ def build_batch(num_problems, num_states, dim_x, gh_degree):
 
 def bench_device(device, num_problems=64, num_states=32, dim_x=2,
                  gh_degree=4, niters=10, repeats=2, chain_impl="auto",
-                 pipeline=8):
+                 pipeline=24):
     """Sustained NGD throughput: ``pipeline`` runs are dispatched
     back-to-back (async) and synced once, so the measurement reflects
     device steady state rather than the per-call dispatch latency (through
@@ -101,7 +101,7 @@ def main():
 
     try:
         t0 = time.perf_counter()
-        rate_cpu = bench_device(jax.devices("cpu")[0], repeats=1)
+        rate_cpu = bench_device(jax.devices("cpu")[0], repeats=1, pipeline=4)
         print(f"[bench] cpu phase {time.perf_counter() - t0:.0f}s",
               file=sys.stderr)
         vs = rate_dev / rate_cpu
