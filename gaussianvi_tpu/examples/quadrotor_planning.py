@@ -55,6 +55,7 @@ def build_quadrotor_planning(
     nodes, weights = get_rule(state_dim, gh_degree)
     obstacle = NonlinearFactorBatch(
         start=jnp.arange(num_states, dtype=jnp.int32),
+        slice_offset=0,
         nodes=jnp.asarray(nodes, dtype),
         weights=jnp.asarray(weights, dtype),
         params=None,

@@ -48,6 +48,10 @@ class NonlinearFactorBatch:
     # the fused Pallas kernel path (kernels/fused_moments.py); must use only
     # Pallas-lowerable ops
     block_cost: Any = field(metadata=dict(static=True), default=None)
+    # when the supports are consecutive states (start == offset + arange(K)),
+    # the joint gather/scatter lowers to static slices instead of XLA
+    # gather/scatter ops (a large op-overhead win on TPU); None = general
+    slice_offset: int | None = field(metadata=dict(static=True), default=None)
 
     @property
     def num_factors(self) -> int:
@@ -73,15 +77,34 @@ def make_nonlinear_batch(
     dim = nb * state_dim
     nodes, weights = get_rule(dim, gh_degree, kind)
     dtype = dtype or jnp.zeros(0).dtype
+    start_np = np.asarray(start_indices, dtype=np.int32)
     return NonlinearFactorBatch(
-        start=jnp.asarray(np.asarray(start_indices, dtype=np.int32)),
+        start=jnp.asarray(start_np),
         nodes=jnp.asarray(nodes, dtype),
         weights=jnp.asarray(weights, dtype),
         params=params,
         cost_fn=cost_fn,
         nb=nb,
         block_cost=block_cost,
+        slice_offset=detect_slice_offset(start_np),
     )
+
+
+def detect_slice_offset(start_np) -> int | None:
+    """offset such that start == offset + arange(K), else None.
+
+    K == 1 batches deliberately return None: slice_offset is STATIC pytree
+    metadata, and single-factor batches (anchors) are routinely concatenated
+    across different state indices with ``jax.tree.map`` — a static offset
+    would make their treedefs unequal.  A one-element gather is cheap.
+    """
+    start_np = np.asarray(start_np)
+    if start_np.ndim != 1 or start_np.size < 2:
+        return None
+    o = int(start_np[0])
+    if np.array_equal(start_np, o + np.arange(start_np.size)):
+        return o
+    return None
 
 
 @jax.tree_util.register_dataclass
@@ -101,6 +124,8 @@ class LinearFactorBatch:
     target_prec: jnp.ndarray    # [K, r, r]
     constant: jnp.ndarray       # [K]
     nb: int = field(metadata=dict(static=True), default=1)
+    # see NonlinearFactorBatch.slice_offset
+    slice_offset: int | None = field(metadata=dict(static=True), default=None)
 
     @property
     def num_factors(self) -> int:

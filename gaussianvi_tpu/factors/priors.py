@@ -21,14 +21,18 @@ from .base import LinearFactorBatch
 
 
 def _as_batch(start, lam, psi, target_mu, target_prec, constant, nb, dtype):
+    from .base import detect_slice_offset
+
+    start_np = np.asarray(start, np.int32)
     return LinearFactorBatch(
-        start=jnp.asarray(np.asarray(start, np.int32)),
+        start=jnp.asarray(start_np),
         lam=jnp.asarray(lam, dtype),
         psi=jnp.asarray(psi, dtype),
         target_mu=jnp.asarray(target_mu, dtype),
         target_prec=jnp.asarray(target_prec, dtype),
         constant=jnp.asarray(constant, dtype),
         nb=nb,
+        slice_offset=detect_slice_offset(start_np),
     )
 
 

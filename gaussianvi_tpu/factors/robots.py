@@ -119,8 +119,12 @@ def make_planar_obstacle_factor(
 
     nodes, weights = get_rule(state_dim, gh_degree)
     dtype = dtype or jnp.zeros(0).dtype
+    from .base import detect_slice_offset
+
+    start_np = np.asarray(start_indices, np.int32)
     return NonlinearFactorBatch(
-        start=jnp.asarray(np.asarray(start_indices, np.int32)),
+        start=jnp.asarray(start_np),
+        slice_offset=detect_slice_offset(start_np),
         nodes=jnp.asarray(nodes, dtype),
         weights=jnp.asarray(weights, dtype),
         params=None,
@@ -157,8 +161,12 @@ def make_arm_obstacle_factor(
 
     nodes, weights = get_rule(state_dim, gh_degree)
     dtype = dtype or jnp.zeros(0).dtype
+    from .base import detect_slice_offset
+
+    start_np = np.asarray(start_indices, np.int32)
     return NonlinearFactorBatch(
-        start=jnp.asarray(np.asarray(start_indices, np.int32)),
+        start=jnp.asarray(start_np),
+        slice_offset=detect_slice_offset(start_np),
         nodes=jnp.asarray(nodes, dtype),
         weights=jnp.asarray(weights, dtype),
         params=None,

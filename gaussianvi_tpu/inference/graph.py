@@ -52,19 +52,35 @@ def gather_marginals(
     mu: jnp.ndarray,
     cov_diag: jnp.ndarray,
     cov_off: jnp.ndarray,
+    slice_offset: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-factor marginal (mu_k [K,d], cov_k [K,d,d]) from the chain blocks.
 
     nb == 1: one diagonal block.  nb == 2: the 2x2 block
     [[Sig_ii, Sig_i,i+1], [., Sig_i+1,i+1]] — exactly what GBP returns.
+
+    When the supports are consecutive (``start == slice_offset + arange(K)``,
+    detected statically at build time) the indexing lowers to static slices —
+    no XLA gather ops on the hot path.
     """
+    k = start.shape[0]
+    if slice_offset is not None:
+        o = slice_offset
+
+        def idx(arr, shift=0):
+            return jax.lax.slice_in_dim(arr, o + shift, o + shift + k, axis=0)
+    else:
+        def idx(arr, shift=0):
+            return arr[start + shift] if shift else arr[start]
+
     if nb == 1:
-        return mu[start], cov_diag[start]
+        return idx(mu), idx(cov_diag)
     if nb == 2:
-        mu_k = jnp.concatenate([mu[start], mu[start + 1]], axis=-1)
-        top = jnp.concatenate([cov_diag[start], cov_off[start]], axis=-1)
+        mu_k = jnp.concatenate([idx(mu), idx(mu, 1)], axis=-1)
+        off_k = idx(cov_off)
+        top = jnp.concatenate([idx(cov_diag), off_k], axis=-1)
         bot = jnp.concatenate(
-            [jnp.swapaxes(cov_off[start], -1, -2), cov_diag[start + 1]], axis=-1
+            [jnp.swapaxes(off_k, -1, -2), idx(cov_diag, 1)], axis=-1
         )
         return mu_k, jnp.concatenate([top, bot], axis=-2)
     raise NotImplementedError(f"factor span nb={nb} not supported (use 1 or 2)")
@@ -77,26 +93,37 @@ def scatter_gradients(
     vddmu: jnp.ndarray,
     grad_mu: jnp.ndarray,
     grad_prec: BlockTridiag,
+    slice_offset: int | None = None,
 ) -> tuple[jnp.ndarray, BlockTridiag]:
     """Scatter-add per-factor (Vdmu [K,d], Vddmu [K,d,d]) into the joint.
 
     Duplicate factor indices accumulate (XLA scatter-add), replacing the
     reference's OpenMP thread-private accumulators + critical reduce
-    (ngd/NGD-GH-impl.h:33-51).
+    (ngd/NGD-GH-impl.h:33-51).  Consecutive supports (``slice_offset``, see
+    :func:`gather_marginals`) lower to slice-adds instead of scatters.
     """
     s = grad_mu.shape[-1]
     k = start.shape[0]
+    if slice_offset is not None:
+        o = slice_offset
+
+        def add(arr, v, shift=0):
+            return arr.at[o + shift:o + shift + k].add(v)
+    else:
+        def add(arr, v, shift=0):
+            return arr.at[start + shift].add(v) if shift else arr.at[start].add(v)
+
     if nb == 1:
-        grad_mu = grad_mu.at[start].add(vdmu)
-        diag = grad_prec.diag.at[start].add(vddmu)
+        grad_mu = add(grad_mu, vdmu)
+        diag = add(grad_prec.diag, vddmu)
         return grad_mu, BlockTridiag(diag, grad_prec.off)
     if nb == 2:
         vdmu_b = vdmu.reshape(k, 2, s)
-        grad_mu = grad_mu.at[start].add(vdmu_b[:, 0])
-        grad_mu = grad_mu.at[start + 1].add(vdmu_b[:, 1])
+        grad_mu = add(grad_mu, vdmu_b[:, 0])
+        grad_mu = add(grad_mu, vdmu_b[:, 1], 1)
         vddmu_b = vddmu.reshape(k, 2, s, 2, s)
-        diag = grad_prec.diag.at[start].add(vddmu_b[:, 0, :, 0, :])
-        diag = diag.at[start + 1].add(vddmu_b[:, 1, :, 1, :])
-        off = grad_prec.off.at[start].add(vddmu_b[:, 0, :, 1, :])
+        diag = add(grad_prec.diag, vddmu_b[:, 0, :, 0, :])
+        diag = add(diag, vddmu_b[:, 1, :, 1, :], 1)
+        off = add(grad_prec.off, vddmu_b[:, 0, :, 1, :])
         return grad_mu, BlockTridiag(diag, off)
     raise NotImplementedError(f"factor span nb={nb} not supported (use 1 or 2)")

@@ -36,14 +36,14 @@ def factor_costs(
     costs = []
     t = temperature if temper_costs else 1.0
     for fb in graph.nonlinear:
-        mu_k, cov_k = gather_marginals(fb.start, fb.nb, mu, cov_diag, cov_off)
+        mu_k, cov_k = gather_marginals(fb.start, fb.nb, mu, cov_diag, cov_off, fb.slice_offset)
         e_phi = mm.expectation_phi(
             fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params,
             eval_dtype,
         )
         costs.append(e_phi / t)
     for lb in graph.linear:
-        mu_k, cov_k = gather_marginals(lb.start, lb.nb, mu, cov_diag, cov_off)
+        mu_k, cov_k = gather_marginals(lb.start, lb.nb, mu, cov_diag, cov_off, lb.slice_offset)
         costs.append(
             mm.linear_cost(
                 lb.lam, lb.psi, lb.target_mu, lb.target_prec, lb.constant,
@@ -87,22 +87,24 @@ def ngd_gradients(
     vdmu_joint = jnp.zeros_like(mu)
     vddmu_joint = BlockTridiag.zeros(n, s, mu.dtype)
     for fb in graph.nonlinear:
-        mu_k, cov_k = gather_marginals(fb.start, fb.nb, mu, cov_diag, cov_off)
+        mu_k, cov_k = gather_marginals(fb.start, fb.nb, mu, cov_diag, cov_off, fb.slice_offset)
         e_phi, e_xmu, e_xxt = mm.batch_moments(
             fb, mu_k, cov_k, use_pallas, eval_dtype
         )
         vdmu, vddmu = mm.ngd_local_gradients(e_phi, e_xmu, e_xxt, cov_k, temperature)
         vdmu_joint, vddmu_joint = scatter_gradients(
-            fb.start, fb.nb, vdmu, vddmu, vdmu_joint, vddmu_joint
+            fb.start, fb.nb, vdmu, vddmu, vdmu_joint, vddmu_joint,
+            fb.slice_offset,
         )
     for lb in graph.linear:
-        mu_k, _ = gather_marginals(lb.start, lb.nb, mu, cov_diag, cov_off)
+        mu_k, _ = gather_marginals(lb.start, lb.nb, mu, cov_diag, cov_off, lb.slice_offset)
         vdmu, vddmu = mm.linear_local_gradients(
             lb.lam, lb.psi, lb.target_mu, lb.target_prec, lb.constant,
             mu_k, temperature,
         )
         vdmu_joint, vddmu_joint = scatter_gradients(
-            lb.start, lb.nb, vdmu, vddmu, vdmu_joint, vddmu_joint
+            lb.start, lb.nb, vdmu, vddmu, vdmu_joint, vddmu_joint,
+            lb.slice_offset,
         )
     return vdmu_joint, vddmu_joint
 
@@ -143,21 +145,22 @@ def prox_gradients(
     dmu_joint = jnp.zeros_like(mu)
     dprec_joint = BlockTridiag.zeros(n, s_dim, mu.dtype)
     for fb in graph.nonlinear:
-        mu_k, cov_k = gather_marginals(fb.start, fb.nb, mu, cov_diag, cov_off)
+        mu_k, cov_k = gather_marginals(fb.start, fb.nb, mu, cov_diag, cov_off, fb.slice_offset)
         e_phi, e_xmu, e_xxt = mm.gh_moments(
             fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params
         )
         b_k, s_k = mm.bw_local_gradients(e_phi, e_xmu, e_xxt, cov_k)
         vdmu, vddmu = _bw_jko_step(b_k, s_k, cov_k, step_size)
         dmu_joint, dprec_joint = scatter_gradients(
-            fb.start, fb.nb, vdmu, vddmu, dmu_joint, dprec_joint
+            fb.start, fb.nb, vdmu, vddmu, dmu_joint, dprec_joint,
+            fb.slice_offset,
         )
     for lb in graph.linear:
         # Closed-form BW grads (proxgd/ProxGVIFactorizedLinear.h
         # compute_BW_grads; note: no constant factor, unlike the NGD linear
         # path): b_k = Lam^T prec_t (Lam mu - Psi mu_t),
         # S_k = Lam^T prec_t Lam
-        mu_k, cov_k = gather_marginals(lb.start, lb.nb, mu, cov_diag, cov_off)
+        mu_k, cov_k = gather_marginals(lb.start, lb.nb, mu, cov_diag, cov_off, lb.slice_offset)
         resid = jnp.einsum("krd,kd->kr", lb.lam, mu_k) - jnp.einsum(
             "krt,kt->kr", lb.psi, lb.target_mu
         )
@@ -165,6 +168,7 @@ def prox_gradients(
         s_k = jnp.einsum("kra,krs,ksb->kab", lb.lam, lb.target_prec, lb.lam)
         vdmu, vddmu = _bw_jko_step(b_k, s_k, cov_k, step_size)
         dmu_joint, dprec_joint = scatter_gradients(
-            lb.start, lb.nb, vdmu, vddmu, dmu_joint, dprec_joint
+            lb.start, lb.nb, vdmu, vddmu, dmu_joint, dprec_joint,
+            lb.slice_offset,
         )
     return dmu_joint, dprec_joint

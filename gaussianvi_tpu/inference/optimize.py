@@ -78,6 +78,10 @@ class _Carry(NamedTuple):
     cov_diag: jnp.ndarray
     cov_off: jnp.ndarray
     logdet: jnp.ndarray
+    # untempered per-factor expected costs E[psi_k] at (mu, cov) — carried
+    # for the same reason: the accepted trial already evaluated them, and
+    # the temperature only ever enters as a division applied at use
+    fc_raw: jnp.ndarray
     temperature: jnp.ndarray
     is_lowtemp: jnp.ndarray
     converged: jnp.ndarray
@@ -101,8 +105,13 @@ def optimize(
         if config.moments_eval_dtype and method == "ngd" else None
     )
 
+    def temper(fc_raw, temperature):
+        # elementwise division exactly as factor_costs applies it, so the
+        # carried-raw path is bitwise identical to recomputation
+        return fc_raw / temperature if temper_costs else fc_raw
+
     def iteration(carry: _Carry, i_iter):
-        (state, cov_diag, cov_off, logdet, temperature, is_lowtemp,
+        (state, cov_diag, cov_off, logdet, fc_raw, temperature, is_lowtemp,
          converged) = carry
 
         # scheduled high-temperature switch (GVI-GH-impl.h:45-51)
@@ -112,12 +121,11 @@ def optimize(
         )
         is_lowtemp = jnp.logical_and(is_lowtemp, jnp.logical_not(do_switch))
 
-        # covariance of state.precision is carried in; only the factor
-        # expectations are re-evaluated (the temperature may have switched)
-        fc_iter = factor_costs(
-            graph, state.mu, cov_diag, cov_off, temperature, temper_costs,
-            eval_dtype,
-        )
+        # covariance AND untempered factor expectations of the current
+        # iterate are carried in — E[psi_k] does not depend on the
+        # temperature (the switch above only changes the division below), so
+        # no quadrature pass is needed at the top of the iteration
+        fc_iter = temper(fc_raw, temperature)
         cost_iter = jnp.sum(fc_iter) + 0.5 * logdet
 
         if method == "ngd":
@@ -177,21 +185,21 @@ def optimize(
             new_mu = state.mu + s * dmu
             new_prec = (state.precision + dprec.scale(s)).symmetrize()
             t_cd, t_co, t_ld = cov_fn(new_prec)
-            fc = factor_costs(
-                graph, new_mu, t_cd, t_co, temperature, temper_costs,
-                eval_dtype,
+            fc_raw_t = factor_costs(
+                graph, new_mu, t_cd, t_co, 1.0, False, eval_dtype
             )
-            return jnp.sum(fc) + 0.5 * t_ld, t_cd, t_co, t_ld
+            cost = jnp.sum(temper(fc_raw_t, temperature)) + 0.5 * t_ld
+            return cost, t_cd, t_co, t_ld, fc_raw_t
 
         if config.linesearch == "seq":
             # do-while: trial 0 evaluated up front, loop stops at the first
             # decreasing trial (NaN costs compare False); converged problems
             # stop after one trip so a vmapped batch isn't held hostage by
             # frozen members
-            c0, cd0, co0, ld0 = trial_cost(trials[0])
+            c0, cd0, co0, ld0, fc0 = trial_cost(trials[0])
             init_ls = (
                 jnp.asarray(1, jnp.int32), c0 < cost_iter,
-                jnp.asarray(0, jnp.int32), c0, cd0, co0, ld0,
+                jnp.asarray(0, jnp.int32), c0, cd0, co0, ld0, fc0,
             )
 
             def ls_cond(c):
@@ -203,16 +211,16 @@ def optimize(
 
             def ls_body(c):
                 t = c[0]
-                ci, cdi, coi, ldi = trial_cost(trials[t])
-                return (t + 1, ci < cost_iter, t, ci, cdi, coi, ldi)
+                ci, cdi, coi, ldi, fci = trial_cost(trials[t])
+                return (t + 1, ci < cost_iter, t, ci, cdi, coi, ldi, fci)
 
-            (_, accepted, sel, c_sel, cd_sel, co_sel, ld_sel) = (
+            (_, accepted, sel, c_sel, cd_sel, co_sel, ld_sel, fc_sel) = (
                 lax.while_loop(ls_cond, ls_body, init_ls)
             )
         elif config.linesearch == "batched":
-            trial_costs, trial_cds, trial_cos, trial_lds = jax.vmap(
-                trial_cost
-            )(trials)
+            (trial_costs, trial_cds, trial_cos, trial_lds, trial_fcs) = (
+                jax.vmap(trial_cost)(trials)
+            )
             ok = trial_costs < cost_iter  # NaN costs compare False
             accepted = jnp.any(ok)
             # stop index: first decreasing trial, or the last trial when the
@@ -222,6 +230,7 @@ def optimize(
             cd_sel = trial_cds[sel]
             co_sel = trial_cos[sel]
             ld_sel = trial_lds[sel]
+            fc_sel = trial_fcs[sel]
         else:
             raise ValueError(f"unknown linesearch {config.linesearch!r}")
         # Prox accepts the LAST trial even when the search is exhausted
@@ -281,15 +290,19 @@ def optimize(
             ),
         )
         if alpha != 1.0:
-            # the blended precision differs from the evaluated trial; its
-            # covariance must be computed fresh (one extra chain call, only
-            # when EMA smoothing is enabled)
+            # the blended (mu, precision) differ from the evaluated trial;
+            # covariance and factor expectations must be computed fresh (one
+            # extra chain call + quadrature pass, only with EMA smoothing)
             new_cov_diag, new_cov_off, new_logdet = cov_fn(
                 new_state.precision
             )
+            new_fc_raw = factor_costs(
+                graph, new_state.mu, new_cov_diag, new_cov_off, 1.0, False,
+                eval_dtype,
+            )
         else:
-            # carry the accepted trial's covariance forward (bitwise what
-            # the next iteration's cov_fn(new_precision) would produce)
+            # carry the accepted trial's covariance + factor expectations
+            # forward (bitwise what the next iteration would recompute)
             upd = jnp.logical_and(keep, take)
             new_cov_diag = jnp.where(upd, cd_sel, cov_diag)
             new_cov_off = (
@@ -297,22 +310,27 @@ def optimize(
                 if cov_off.size else cov_off
             )
             new_logdet = jnp.where(upd, ld_sel, logdet)
+            new_fc_raw = jnp.where(upd, fc_sel, fc_raw)
         record = (
             state.mu, cov_diag, cov_off, cost_iter, fc_iter,
             jnp.where(accepted, step_f, jnp.zeros((), dtype)),
         )
         new_carry = _Carry(
-            new_state, new_cov_diag, new_cov_off, new_logdet,
+            new_state, new_cov_diag, new_cov_off, new_logdet, new_fc_raw,
             new_temperature, new_is_lowtemp, new_converged,
         )
         return new_carry, record
 
     cov_diag0, cov_off0, ld0 = cov_fn(init_state.precision)
+    fc_raw0 = factor_costs(
+        graph, init_state.mu, cov_diag0, cov_off0, 1.0, False, eval_dtype
+    )
     init_carry = _Carry(
         init_state,
         cov_diag0,
         cov_off0,
         ld0,
+        fc_raw0,
         jnp.asarray(config.temperature, dtype),
         jnp.ones((), bool),
         jnp.zeros((), bool),

@@ -69,9 +69,33 @@ def make_mesh(dp: int, fp: int, devices=None) -> Mesh:
 
 def stack_problems(graphs: list[FactorGraph], states: list[GaussianState]):
     """Stack B same-structure problems along a new leading axis."""
+    graphs = _align_slice_offsets(graphs)
     graph_b = jax.tree.map(lambda *xs: jnp.stack(xs), *graphs)
     state_b = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
     return graph_b, state_b
+
+
+def _align_slice_offsets(graphs: list[FactorGraph]) -> list[FactorGraph]:
+    """slice_offset is static pytree metadata; problems whose factor
+    supports start at different states (e.g. anchors at different indices)
+    can't stack with it set — fall those batches back to the general
+    gather/scatter path (slice_offset=None) before stacking."""
+    from dataclasses import replace
+
+    out = list(graphs)
+    for attr in ("nonlinear", "linear"):
+        groups = [getattr(g, attr) for g in out]
+        for k in range(min(len(t) for t in groups) if groups else 0):
+            offs = {t[k].slice_offset for t in groups}
+            if len(offs) > 1:
+                out = [
+                    replace(g, **{attr: tuple(
+                        replace(fb, slice_offset=None) if i == k else fb
+                        for i, fb in enumerate(getattr(g, attr))
+                    )})
+                    for g in out
+                ]
+    return out
 
 
 def _graph_specs(graph: FactorGraph, batched: bool):
@@ -88,6 +112,7 @@ def _graph_specs(graph: FactorGraph, batched: bool):
             cost_fn=fb.cost_fn,
             nb=fb.nb,
             block_cost=fb.block_cost,
+            slice_offset=fb.slice_offset,
         )
 
     def lin_spec(lb):
@@ -99,6 +124,7 @@ def _graph_specs(graph: FactorGraph, batched: bool):
             target_prec=P(*dp),
             constant=P(*dp),
             nb=lb.nb,
+            slice_offset=lb.slice_offset,
         )
 
     return FactorGraph(

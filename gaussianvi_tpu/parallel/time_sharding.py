@@ -61,6 +61,7 @@ def to_chain_layout(graph: FactorGraph) -> FactorGraph:
         nl_out.append(replace(
             fb,
             start=jnp.asarray(starts),
+            slice_offset=0,
             params=jax.tree.map(lambda p: p[perm], fb.params)
             if fb.params is not None else None,
         ))
@@ -78,6 +79,7 @@ def to_chain_layout(graph: FactorGraph) -> FactorGraph:
         lin_out.append(replace(
             lb,
             start=jnp.arange(n, dtype=lb.start.dtype),
+            slice_offset=0,
             lam=spread(lb.lam),
             psi=spread(lb.psi),
             target_mu=spread(lb.target_mu),
@@ -276,12 +278,14 @@ def sharded_time_ngd_step(graph: FactorGraph, state: GaussianState,
             params=jax.tree.map(lambda _: P("sp"), fb.params)
             if fb.params is not None else None,
             cost_fn=fb.cost_fn, nb=fb.nb, block_cost=fb.block_cost,
+            slice_offset=fb.slice_offset,
         )
 
     def lin_spec(lb):
         return type(lb)(
             start=P("sp"), lam=P("sp"), psi=P("sp"), target_mu=P("sp"),
             target_prec=P("sp"), constant=P("sp"), nb=lb.nb,
+            slice_offset=lb.slice_offset,
         )
 
     graph_spec = FactorGraph(
