@@ -17,12 +17,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from .base import LinearFactorBatch
+from .base import LinearFactorBatch, detect_slice_offset
 
 
 def _as_batch(start, lam, psi, target_mu, target_prec, constant, nb, dtype):
-    from .base import detect_slice_offset
-
     start_np = np.asarray(start, np.int32)
     return LinearFactorBatch(
         start=jnp.asarray(start_np),

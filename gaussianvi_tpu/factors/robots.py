@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .base import NonlinearFactorBatch
+from .base import NonlinearFactorBatch, detect_slice_offset
 from .sdf import PlanarSDF, SDF3D, hinge_obstacle_cost
 from ..quadrature import get_rule
 
@@ -119,8 +119,6 @@ def make_planar_obstacle_factor(
 
     nodes, weights = get_rule(state_dim, gh_degree)
     dtype = dtype or jnp.zeros(0).dtype
-    from .base import detect_slice_offset
-
     start_np = np.asarray(start_indices, np.int32)
     return NonlinearFactorBatch(
         start=jnp.asarray(start_np),
@@ -161,8 +159,6 @@ def make_arm_obstacle_factor(
 
     nodes, weights = get_rule(state_dim, gh_degree)
     dtype = dtype or jnp.zeros(0).dtype
-    from .base import detect_slice_offset
-
     start_np = np.asarray(start_indices, np.int32)
     return NonlinearFactorBatch(
         start=jnp.asarray(start_np),

@@ -29,6 +29,27 @@ def validate_graph(graph: FactorGraph, state: GaussianState | None = None):
                     f"for nb={fb.nb}, got range "
                     f"[{starts.min()}, {starts.max()}]"
                 )
+            if fb.slice_offset is not None:
+                # gather/scatter ignore `start` entirely when slice_offset is
+                # set (inference/graph.py lowers to static slices), so an
+                # inconsistent hand-built batch would silently touch the
+                # wrong state blocks
+                expect = fb.slice_offset + np.arange(starts.size)
+                if not np.array_equal(starts, expect):
+                    raise ValueError(
+                        f"{name}: slice_offset={fb.slice_offset} requires "
+                        f"start == slice_offset + arange(K); got {starts}"
+                    )
+                if starts.size and (
+                    fb.slice_offset < 0
+                    or fb.slice_offset + starts.size - 1 > n - fb.nb
+                ):
+                    raise ValueError(
+                        f"{name}: slice_offset range "
+                        f"[{fb.slice_offset}, "
+                        f"{fb.slice_offset + starts.size - 1}] exceeds "
+                        f"[0, {n - fb.nb}] for nb={fb.nb}"
+                    )
             d = fb.nb * s
             if kind == "nonlinear":
                 if fb.nodes.shape[-1] != d:

@@ -98,6 +98,17 @@ def _align_slice_offsets(graphs: list[FactorGraph]) -> list[FactorGraph]:
     return out
 
 
+def _null_nonlinear_slice_offsets(graph: FactorGraph) -> FactorGraph:
+    """Drop slice_offset from fp-sharded nonlinear batches (static metadata
+    that is only valid for the unsharded global K axis)."""
+    from dataclasses import replace
+
+    return replace(graph, nonlinear=tuple(
+        replace(fb, slice_offset=None) if fb.slice_offset is not None else fb
+        for fb in graph.nonlinear
+    ))
+
+
 def _graph_specs(graph: FactorGraph, batched: bool):
     """PartitionSpec tree for a (batched) FactorGraph: nonlinear factor
     axes sharded over fp, problem axis over dp, rules replicated."""
@@ -296,6 +307,12 @@ def sharded_ngd_step(graph_b, state_b, config, mesh: Mesh, temperature=1.0,
         check_vma=False,
     )
     def step(graph_loc, state_loc):
+        # the factor K axis is sharded over fp, so a shard's local `start`
+        # no longer satisfies start == slice_offset + arange(K_local) for
+        # shards > 0: null the now-wrong static metadata instead of carrying
+        # it into the sharded scope
+        graph_loc = _null_nonlinear_slice_offsets(graph_loc)
+
         def one(graph_i, state_i):
             t = jnp.asarray(temperature, state_i.mu.dtype)
             return _iteration_local(graph_i, state_i, t, config, method)

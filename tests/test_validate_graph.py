@@ -41,3 +41,28 @@ class TestValidateGraph:
         graph = FactorGraph(num_states=2, state_dim=4, nonlinear=(fb,))
         with pytest.raises(ValueError, match="quadrature dim"):
             validate_graph(graph)
+
+    def test_inconsistent_slice_offset(self):
+        from dataclasses import replace
+
+        fb = make_nonlinear_batch(
+            lambda x, p: jnp.sum(x**2), [0, 1, 2], state_dim=1, gh_degree=3
+        )
+        assert fb.slice_offset == 0
+        # start says [0,1,2] but slice_offset claims the batch begins at 1:
+        # gather/scatter would silently read/write the wrong state blocks
+        bad = replace(fb, slice_offset=1)
+        graph = FactorGraph(num_states=4, state_dim=1, nonlinear=(bad,))
+        with pytest.raises(ValueError, match="slice_offset"):
+            validate_graph(graph)
+
+    def test_slice_offset_out_of_range(self):
+        from dataclasses import replace
+
+        fb = make_nonlinear_batch(
+            lambda x, p: jnp.sum(x**2), [2, 3, 4], state_dim=1, gh_degree=3
+        )
+        bad = replace(fb, slice_offset=2)
+        graph = FactorGraph(num_states=4, state_dim=1, nonlinear=(bad,))
+        with pytest.raises(ValueError, match="start indices|slice_offset"):
+            validate_graph(graph)
