@@ -3,6 +3,8 @@ from .base import (
     NonlinearFactorBatch,
     make_nonlinear_batch,
 )
+from .sdf import PlanarSDF, SDF3D, hinge_obstacle_cost
+from .sdf_io import load_sdf, save_sdf, sdf_from_occupancy
 from .moments import (
     bw_local_gradients,
     expectation_phi,
@@ -18,4 +20,6 @@ __all__ = [
     "gh_moments", "expectation_phi", "sigma_points",
     "ngd_local_gradients", "bw_local_gradients",
     "linear_local_gradients", "linear_cost",
+    "PlanarSDF", "SDF3D", "hinge_obstacle_cost",
+    "save_sdf", "load_sdf", "sdf_from_occupancy",
 ]

@@ -131,6 +131,41 @@ def make_planar_obstacle_factor(
     )
 
 
+def make_point3d_obstacle_factor(
+    sdf: SDF3D,
+    start_indices,
+    state_dim: int,
+    cost_sigma: float = 15.5,
+    epsilon: float = 0.5,
+    radius: float = 1.0,
+    slope: float = 1.0,
+    gh_degree: int = 3,
+    dtype=None,
+) -> NonlinearFactorBatch:
+    """3-D point-robot collision factor: one ball at (x, y, z) -> trilinear
+    SDF lookup -> hinge loss (CudaOperation_3dpR::cost_obstacle_planar +
+    vec_balls, helpers/CudaOperation.h:612-680; state = [pos3; vel3])."""
+
+    def cost_fn(x, params):
+        del params
+        balls = point3d_balls(x)
+        sd = sdf.signed_distance(balls)
+        return hinge_obstacle_cost(sd, epsilon, radius, cost_sigma, slope)
+
+    nodes, weights = get_rule(state_dim, gh_degree)
+    dtype = dtype or jnp.zeros(0).dtype
+    start_np = np.asarray(start_indices, np.int32)
+    return NonlinearFactorBatch(
+        start=jnp.asarray(start_np),
+        slice_offset=detect_slice_offset(start_np),
+        nodes=jnp.asarray(nodes, dtype),
+        weights=jnp.asarray(weights, dtype),
+        params=None,
+        cost_fn=cost_fn,
+        nb=1,
+    )
+
+
 def make_arm_obstacle_factor(
     sdf: SDF3D,
     fk: DHForwardKinematics,
