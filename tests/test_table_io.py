@@ -5,6 +5,8 @@ the (dim, degree) -> (nodes, weights) map + ground-truth spot check) and the
 save_SparseGH_weights driver, on a reduced schedule.
 """
 
+import os
+
 import numpy as np
 
 from gaussianvi_tpu.factors.priors import (
@@ -12,7 +14,7 @@ from gaussianvi_tpu.factors.priors import (
     minimum_acc_prior,
     minimum_acc_prior_integral,
 )
-from gaussianvi_tpu.quadrature import load_table, save_table, sparse_gh
+from gaussianvi_tpu.quadrature import get_rule, load_table, save_table, sparse_gh
 
 
 class TestTableIO:
@@ -52,3 +54,33 @@ class TestMinAccIntegral:
         np.testing.assert_allclose(
             np.linalg.inv(np.asarray(integ.target_prec[0])), q, rtol=1e-8
         )
+
+
+class TestCommittedArtifact:
+    """The committed sparse_gh_table.npz (quadrature/saveSparseGHWeightMap.h
+    parity: runtime consumers load, never regenerate)."""
+
+    def test_artifact_exists_and_serves_get_rule(self):
+        import gaussianvi_tpu.quadrature.table as tbl
+
+        assert os.path.exists(tbl._DEFAULT_TABLE)
+        hit = tbl._table_lookup(4, 3)
+        assert hit is not None
+        n, w = get_rule(4, 3)
+        np.testing.assert_array_equal(n, hit[0])
+        np.testing.assert_array_equal(w, hit[1])
+
+    def test_artifact_not_stale(self):
+        from gaussianvi_tpu.quadrature import verify_table
+
+        verify_table()  # raises on generator/table drift
+
+    def test_uncovered_rule_falls_back_to_generator(self):
+        import gaussianvi_tpu.quadrature.table as tbl
+        from gaussianvi_tpu.quadrature.smolyak import MAX_DEGREE_SCHEDULE
+
+        deg = MAX_DEGREE_SCHEDULE[4] + 1  # beyond the tabulated schedule
+        assert tbl._table_lookup(4, deg) is None
+        n, w = get_rule(4, deg)
+        assert n.shape[1] == 4 and n.shape[0] == w.shape[0]
+        np.testing.assert_allclose(w.sum(), 1.0, atol=1e-9)
