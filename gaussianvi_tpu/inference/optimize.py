@@ -65,6 +65,8 @@ class GVIHistory(NamedTuple):
     mu: jnp.ndarray            # [niters, N, s]
     cov_diag: jnp.ndarray      # [niters, N, s, s]
     cov_off: jnp.ndarray       # [niters, N-1, s, s]
+    prec_diag: jnp.ndarray     # [niters, N, s, s]
+    prec_off: jnp.ndarray      # [niters, N-1, s, s]
     cost: jnp.ndarray          # [niters]
     factor_costs: jnp.ndarray  # [niters, K_total]
     accepted_step: jnp.ndarray  # [niters]
@@ -312,7 +314,9 @@ def optimize(
             new_logdet = jnp.where(upd, ld_sel, logdet)
             new_fc_raw = jnp.where(upd, fc_sel, fc_raw)
         record = (
-            state.mu, cov_diag, cov_off, cost_iter, fc_iter,
+            state.mu, cov_diag, cov_off,
+            state.precision.diag, state.precision.off,
+            cost_iter, fc_iter,
             jnp.where(accepted, step_f, jnp.zeros((), dtype)),
         )
         new_carry = _Carry(

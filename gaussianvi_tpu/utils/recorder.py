@@ -17,30 +17,81 @@ import numpy as np
 from ..inference.optimize import GVIHistory
 
 
-def history_to_arrays(history: GVIHistory) -> dict[str, np.ndarray]:
-    """Flatten a GVIHistory into the reference's recorder matrices:
-    each entry has iterations as columns."""
-    mu = np.asarray(history.mu)              # [T, N, s]
-    cov_d = np.asarray(history.cov_diag)     # [T, N, s, s]
-    cov_o = np.asarray(history.cov_off)      # [T, N-1, s, s]
-    t = mu.shape[0]
-    out = {
-        "mean": mu.reshape(t, -1).T,
-        "cov": cov_d.reshape(t, -1).T,
-        "cov_off": cov_o.reshape(t, -1).T if cov_o.size else np.zeros((0, t)),
-        "cost": np.asarray(history.cost).reshape(1, t),
-        "factor_costs": np.asarray(history.factor_costs).T,
-        "accepted_step": np.asarray(history.accepted_step).reshape(1, t),
-    }
+def _dense_joint(diag: np.ndarray, off: np.ndarray) -> np.ndarray:
+    """[T, N, s, s] + [T, N-1, s, s] blocks -> dense [T, N*s, N*s]."""
+    t, n, s, _ = diag.shape
+    out = np.zeros((t, n * s, n * s), diag.dtype)
+    for i in range(n):
+        out[:, i * s:(i + 1) * s, i * s:(i + 1) * s] = diag[:, i]
+    for i in range(n - 1):
+        out[:, i * s:(i + 1) * s, (i + 1) * s:(i + 2) * s] = off[:, i]
+        out[:, (i + 1) * s:(i + 2) * s, i * s:(i + 1) * s] = np.swapaxes(
+            off[:, i], -1, -2
+        )
     return out
 
 
-def save_history_csv(history: GVIHistory, prefix: str) -> list[str]:
-    """Write the history CSVs under ``prefix`` (mean.csv, cov.csv, cost.csv,
-    factor_costs.csv, ...), mirroring DataRecorder.h:177-224."""
+def history_to_arrays(
+    history: GVIHistory, full_joint: bool | None = None
+) -> dict[str, np.ndarray]:
+    """Flatten a GVIHistory into the reference recorder's matrices
+    (DataRecorder.h:96-224), each with iterations as columns:
+
+    mean, cov (marginal covariance blocks), precision (marginal precision
+    blocks), joint_cov, joint_precision, cost, factor_costs, zk_sdf
+    (final-iteration means [s, N]), Sk_sdf (final marginal covariances
+    [s*s, N]) — plus the extra cov_off / prec_off chain blocks and the
+    accepted step sizes the reference doesn't record.
+
+    ``full_joint``: materialize the dense joint covariance/precision
+    (the reference always does; defaults to True for joint dim <= 512,
+    else skipped — the block entries already carry the exact marginals).
+    """
+    mu = np.asarray(history.mu)              # [T, N, s]
+    cov_d = np.asarray(history.cov_diag)     # [T, N, s, s]
+    cov_o = np.asarray(history.cov_off)      # [T, N-1, s, s]
+    prec_d = np.asarray(history.prec_diag)
+    prec_o = np.asarray(history.prec_off)
+    t, n, s = mu.shape
+    out = {
+        "mean": mu.reshape(t, -1).T,
+        "cov": cov_d.reshape(t, -1).T,
+        "precision": prec_d.reshape(t, -1).T,
+        "cov_off": cov_o.reshape(t, -1).T if cov_o.size else np.zeros((0, t)),
+        "prec_off": (
+            prec_o.reshape(t, -1).T if prec_o.size else np.zeros((0, t))
+        ),
+        "cost": np.asarray(history.cost).reshape(1, t),
+        "factor_costs": np.asarray(history.factor_costs).T,
+        "accepted_step": np.asarray(history.accepted_step).reshape(1, t),
+        # final-iteration dumps (zk_sdf/Sk_sdf, DataRecorder.h:200-218):
+        # states as columns
+        "zk_sdf": mu[-1].T,
+        "Sk_sdf": cov_d[-1].reshape(n, s * s).T,
+    }
+    if full_joint is None:
+        full_joint = n * s <= 512
+    if full_joint:
+        jp = _dense_joint(prec_d, prec_o)
+        # the exact joint covariance is the full inverse of the joint
+        # precision (the block-tridiag history rows carry only the
+        # tridiagonal part of it)
+        jc = np.linalg.inv(jp)
+        out["joint_precision"] = jp.reshape(t, -1).T
+        out["joint_cov"] = jc.reshape(t, -1).T
+    return out
+
+
+def save_history_csv(
+    history: GVIHistory, prefix: str, full_joint: bool | None = None
+) -> list[str]:
+    """Write the reference's CSV set under ``prefix`` (mean.csv, cov.csv,
+    precision.csv, joint_cov.csv, joint_precision.csv, cost.csv,
+    factor_costs.csv, zk_sdf.csv, Sk_sdf.csv — DataRecorder.h:177-224 —
+    plus cov_off/prec_off/accepted_step extras)."""
     os.makedirs(prefix, exist_ok=True)
     paths = []
-    for name, arr in history_to_arrays(history).items():
+    for name, arr in history_to_arrays(history, full_joint).items():
         path = os.path.join(prefix, f"{name}.csv")
         np.savetxt(path, arr, delimiter=", ", fmt="%.12g")
         paths.append(path)
