@@ -45,9 +45,13 @@ class GVIConfig:
     # use the fused Pallas moments kernel for factor batches that provide a
     # block-form cost (NonlinearFactorBatch.block_cost)
     use_pallas: bool = False
-    # evaluate nonlinear-factor phi at the sigma points in this dtype
-    # ("bfloat16" / "float16"; None = full precision).  Weighted moment
-    # reductions always accumulate in the state dtype.  Opt-in study knob:
-    # bf16 carries ~3 significant digits, which perturbs line-search accept
-    # decisions; NGD path only (prox stays full precision)
+    # quantize the sigma-point OFFSETS (x - mu) to this dtype before
+    # evaluating phi ("bfloat16" / "float16"; None = full precision) —
+    # compresses the [K, M, d] sigma-offset tensor, the hot loop's largest
+    # intermediate.  phi itself and all weighted reductions stay in the
+    # state dtype, and because the quantization is CENTERED at the marginal
+    # mean it is immune to the catastrophic cancellation of absolute-bf16
+    # evaluation (measured envelope on residual costs: bf16 < 3e-3, fp16
+    # < 1e-4 relative E[phi] error — tests/test_chain_estimation.py).
+    # NGD path only (prox stays full precision).
     moments_eval_dtype: str | None = None

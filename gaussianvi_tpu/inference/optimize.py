@@ -15,17 +15,24 @@ committed data/1d and data/1d_proxgvi trajectories):
 * scheduled switch to high temperature at iteration niters_lowtemp
   (GVI-GH-impl.h:45-51).
 
-The whole run is one ``lax.scan`` over iterations with a ``lax.while_loop``
-line search inside — a single XLA computation, no host round-trips (the
-reference's CUDA path crosses the device boundary per trial,
-GVI-GH-Cuda-impl.h:150-286).  One divergence from the reference: upstream
-*breaks* the loop on convergence, so its recorder holds fewer rows; here the
-carried state freezes instead and subsequent recorded rows repeat it.
+The whole run is one ``lax.scan`` over iterations with the line search
+inside — a single XLA computation, no host round-trips (the reference's
+CUDA path crosses the device boundary per trial, GVI-GH-Cuda-impl.h:150-286).
+One divergence from the reference: upstream *breaks* the loop on
+convergence, so its recorder holds fewer rows; here the carried state
+freezes instead and subsequent recorded rows repeat it.
+
+The loop body is written ONCE against the :mod:`.engine` hook interface
+(:func:`run_gvi`); :func:`optimize` runs it on the single-device
+:class:`.engine.LocalEngine`, while :mod:`..parallel.sharding` and
+:mod:`..parallel.time_sharding` run the SAME body factor-sharded (psum
+assembly) and time-sharded (sequence-parallel chain) respectively — so
+temperature schedule, EMA smoothing, convergence freeze, and line-search
+semantics are identical on every execution path.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from functools import partial
 from typing import NamedTuple
 
@@ -54,8 +61,8 @@ def _chain_ops(config, num_states):
         return gbp_covariance_logdet_assoc, solve_assoc
     return gbp_covariance_logdet, solve
 from .config import GVIConfig
+from .engine import LocalEngine, vary_tree
 from .graph import FactorGraph, GaussianState
-from .gvi import factor_costs, ngd_gradients, prox_gradients
 
 
 class GVIHistory(NamedTuple):
@@ -68,7 +75,9 @@ class GVIHistory(NamedTuple):
     prec_diag: jnp.ndarray     # [niters, N, s, s]
     prec_off: jnp.ndarray      # [niters, N-1, s, s]
     cost: jnp.ndarray          # [niters]
-    factor_costs: jnp.ndarray  # [niters, K_total]
+    factor_costs: jnp.ndarray  # [niters, K_total] (tuple of per-batch
+                               # arrays inside run_gvi; concatenated by the
+                               # public wrappers)
     accepted_step: jnp.ndarray  # [niters]
 
 
@@ -82,35 +91,40 @@ class _Carry(NamedTuple):
     logdet: jnp.ndarray
     # untempered per-factor expected costs E[psi_k] at (mu, cov) — carried
     # for the same reason: the accepted trial already evaluated them, and
-    # the temperature only ever enters as a division applied at use
-    fc_raw: jnp.ndarray
+    # the temperature only ever enters as a division applied at use.
+    # A TUPLE of per-batch arrays (see engine.py).
+    fc_raw: tuple
     temperature: jnp.ndarray
     is_lowtemp: jnp.ndarray
     converged: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("config", "method"))
-def optimize(
-    graph: FactorGraph,
+def run_gvi(
+    engine,
     init_state: GaussianState,
-    config: GVIConfig = GVIConfig(),
+    config: GVIConfig,
     method: str = "ngd",
 ) -> tuple[GaussianState, GVIHistory]:
-    """Run the full GVI loop; returns the final state and iteration history."""
+    """The unified GVI loop over an engine (trace-time; call under jit).
+
+    Returns the final state and history; ``history.factor_costs`` is the
+    raw tuple of per-batch cost arrays (callers concatenate/reassemble).
+    """
     if method not in ("ngd", "prox"):
         raise ValueError(f"unknown method {method!r}")
     temper_costs = method == "ngd"
     dtype = init_state.mu.dtype
-    cov_fn, solve_fn = _chain_ops(config, init_state.mu.shape[0])
     eval_dtype = (
         jnp.dtype(config.moments_eval_dtype)
         if config.moments_eval_dtype and method == "ngd" else None
     )
 
     def temper(fc_raw, temperature):
-        # elementwise division exactly as factor_costs applies it, so the
+        # elementwise division exactly as the cost path applies it, so the
         # carried-raw path is bitwise identical to recomputation
-        return fc_raw / temperature if temper_costs else fc_raw
+        if not temper_costs:
+            return fc_raw
+        return jax.tree.map(lambda f: f / temperature, fc_raw)
 
     def iteration(carry: _Carry, i_iter):
         (state, cov_diag, cov_off, logdet, fc_raw, temperature, is_lowtemp,
@@ -128,12 +142,11 @@ def optimize(
         # temperature (the switch above only changes the division below), so
         # no quadrature pass is needed at the top of the iteration
         fc_iter = temper(fc_raw, temperature)
-        cost_iter = jnp.sum(fc_iter) + 0.5 * logdet
+        cost_iter = engine.reduce_fc(fc_iter) + 0.5 * logdet
 
         if method == "ngd":
-            vdmu, vddmu = ngd_gradients(
-                graph, state.mu, cov_diag, cov_off, temperature,
-                config.use_pallas, eval_dtype,
+            vdmu, vddmu = engine.ngd_gradients(
+                state.mu, cov_diag, cov_off, temperature, eval_dtype
             )
             dprec = vddmu - state.precision
             # Vddmu can be indefinite far from the optimum (negative factor
@@ -142,17 +155,8 @@ def optimize(
             # precision as metric — always SPD, still a descent direction.
             # (The reference CG-solves the same indefinite system and relies
             # on backtracking to reject bad steps, ngd/NGD-GH-impl.h:57-62.)
-            # Both solves go through ONE batched chain call.
-            rhs = -vdmu.reshape(-1)
-            sols = jax.vmap(
-                lambda d, o: solve_fn(BlockTridiag(d, o), rhs)
-            )(
-                jnp.stack([vddmu.diag, state.precision.diag]),
-                jnp.stack([vddmu.off, state.precision.off]),
-            )
-            dmu = sols[0].reshape(state.mu.shape)
-            fallback = sols[1].reshape(state.mu.shape)
-            dmu = jnp.where(jnp.isfinite(dmu).all(), dmu, fallback)
+            dmu, fallback = engine.solve_pair(vddmu, state.precision, -vdmu)
+            dmu = jnp.where(engine.all_finite(dmu), dmu, fallback)
             # trial schedule: base * 0.75^t, t = 1..niters_backtrack+1
             # (GVI-GH-impl.h:76-86; the pow(base, B) line is commented
             # out upstream)
@@ -162,8 +166,8 @@ def optimize(
             )
         else:
             grad_step = config.step_size_base  # pow(base, 1)
-            dmu, dprec = prox_gradients(
-                graph, state.mu, cov_diag, cov_off, grad_step
+            dmu, dprec = engine.prox_gradients(
+                state.mu, cov_diag, cov_off, grad_step
             )
             # trial schedule: base^B, B = 1..niters_backtrack+1
             # (proxgd/ProxGVI-GH-impl.h:151-176)
@@ -182,15 +186,15 @@ def optimize(
         #     steady state the search accepts trial 1, so only ~1 chain op +
         #     quadrature runs instead of n_trials.
         # Trial covariances are returned so the accepted one can be carried
-        # into the next iteration without recomputation.
+        # into the next iteration without recomputation.  Sharded engines
+        # reduce each trial cost globally, so every device takes the same
+        # branch and stays in lockstep.
         def trial_cost(s):
             new_mu = state.mu + s * dmu
             new_prec = (state.precision + dprec.scale(s)).symmetrize()
-            t_cd, t_co, t_ld = cov_fn(new_prec)
-            fc_raw_t = factor_costs(
-                graph, new_mu, t_cd, t_co, 1.0, False, eval_dtype
-            )
-            cost = jnp.sum(temper(fc_raw_t, temperature)) + 0.5 * t_ld
+            t_cd, t_co, t_ld = engine.cov_logdet(new_prec)
+            fc_raw_t = engine.factor_costs_raw(new_mu, t_cd, t_co, eval_dtype)
+            cost = engine.reduce_fc(temper(fc_raw_t, temperature)) + 0.5 * t_ld
             return cost, t_cd, t_co, t_ld, fc_raw_t
 
         if config.linesearch == "seq":
@@ -203,6 +207,7 @@ def optimize(
                 jnp.asarray(1, jnp.int32), c0 < cost_iter,
                 jnp.asarray(0, jnp.int32), c0, cd0, co0, ld0, fc0,
             )
+            init_ls = vary_tree(init_ls, engine.carry_axes)
 
             def ls_cond(c):
                 t, ok = c[0], c[1]
@@ -232,7 +237,7 @@ def optimize(
             cd_sel = trial_cds[sel]
             co_sel = trial_cos[sel]
             ld_sel = trial_lds[sel]
-            fc_sel = trial_fcs[sel]
+            fc_sel = jax.tree.map(lambda f: f[sel], trial_fcs)
         else:
             raise ValueError(f"unknown linesearch {config.linesearch!r}")
         # Prox accepts the LAST trial even when the search is exhausted
@@ -295,12 +300,11 @@ def optimize(
             # the blended (mu, precision) differ from the evaluated trial;
             # covariance and factor expectations must be computed fresh (one
             # extra chain call + quadrature pass, only with EMA smoothing)
-            new_cov_diag, new_cov_off, new_logdet = cov_fn(
+            new_cov_diag, new_cov_off, new_logdet = engine.cov_logdet(
                 new_state.precision
             )
-            new_fc_raw = factor_costs(
-                graph, new_state.mu, new_cov_diag, new_cov_off, 1.0, False,
-                eval_dtype,
+            new_fc_raw = engine.factor_costs_raw(
+                new_state.mu, new_cov_diag, new_cov_off, eval_dtype
             )
         else:
             # carry the accepted trial's covariance + factor expectations
@@ -312,7 +316,9 @@ def optimize(
                 if cov_off.size else cov_off
             )
             new_logdet = jnp.where(upd, ld_sel, logdet)
-            new_fc_raw = jnp.where(upd, fc_sel, fc_raw)
+            new_fc_raw = jax.tree.map(
+                lambda a, b: jnp.where(upd, a, b), fc_sel, fc_raw
+            )
         record = (
             state.mu, cov_diag, cov_off,
             state.precision.diag, state.precision.off,
@@ -325,9 +331,9 @@ def optimize(
         )
         return new_carry, record
 
-    cov_diag0, cov_off0, ld0 = cov_fn(init_state.precision)
-    fc_raw0 = factor_costs(
-        graph, init_state.mu, cov_diag0, cov_off0, 1.0, False, eval_dtype
+    cov_diag0, cov_off0, ld0 = engine.cov_logdet(init_state.precision)
+    fc_raw0 = engine.factor_costs_raw(
+        init_state.mu, cov_diag0, cov_off0, eval_dtype
     )
     init_carry = _Carry(
         init_state,
@@ -339,8 +345,38 @@ def optimize(
         jnp.ones((), bool),
         jnp.zeros((), bool),
     )
+    # carry initializers must already have the variance type their updated
+    # values will acquire (e.g. temperature becomes dp-varying after one
+    # data-dependent escalation decision) for the scan to type-check under
+    # shard_map's vma system
+    init_carry = vary_tree(init_carry, engine.carry_axes)
     final_carry, records = lax.scan(
         iteration, init_carry, jnp.arange(config.niters)
     )
     history = GVIHistory(*records)
     return final_carry.state, history
+
+
+def concat_factor_costs(fc, niters: int, dtype) -> jnp.ndarray:
+    """Flatten the per-batch cost tuple into the reference's [T, K_total]."""
+    fc_leaves = jax.tree.leaves(fc)
+    if not fc_leaves:
+        return jnp.zeros((niters, 0), dtype)
+    return jnp.concatenate(fc_leaves, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("config", "method"))
+def optimize(
+    graph: FactorGraph,
+    init_state: GaussianState,
+    config: GVIConfig = GVIConfig(),
+    method: str = "ngd",
+) -> tuple[GaussianState, GVIHistory]:
+    """Run the full GVI loop; returns the final state and iteration history."""
+    engine = LocalEngine(graph, config)
+    state, history = run_gvi(engine, init_state, config, method)
+    return state, history._replace(
+        factor_costs=concat_factor_costs(
+            history.factor_costs, config.niters, init_state.mu.dtype
+        )
+    )

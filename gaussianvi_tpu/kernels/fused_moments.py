@@ -48,26 +48,36 @@ def _moments_kernel(
         r[..., 0] if sq else r[...]  # 1-D params were lifted to [K, 1]
         for r, sq in zip(param_refs, squeezed)
     )
-    # static unroll over the tile: every op is a clean 2-D matmul/reduce
-    # (Mosaic has no mixed batched/unbatched dot_general)
-    for j in range(tk):
-        diff = jnp.dot(
-            nodes, chol[j].T, preferred_element_type=nodes.dtype
-        )                                        # [M, d]
-        pts = diff + mu[j][None, :]
-        phi = cost_fn(pts, *[p[j][None].repeat(m, axis=0) if p.ndim > 1
-                             else jnp.full((m,), p[j], p.dtype)
-                             for p in params])   # [M]
-        wphi = w * phi
-        e_phi_ref[j:j + 1, :] = jnp.sum(wphi)[None, None]
-        # reductions on the VPU in full f32: the MXU's internal bf16 passes
-        # lose ~3 decimal digits on wphi's wide dynamic range (weights span
-        # 1e-6..0.3 in high-degree rules)
-        wd = wphi[:, None] * diff                 # [M, d]
-        e_xmu_ref[j, :] = jnp.sum(wd, axis=0)
-        e_xxt_ref[j, :, :] = jnp.sum(
-            wd[:, :, None] * diff[:, None, :], axis=0
-        )
+    # The whole tile is evaluated in ONE vectorized pass: sigma placement
+    # as a broadcast-multiply reduce (d is tiny, so this is a VPU op — and
+    # Mosaic has no mixed batched/unbatched dot_general to express it as a
+    # batched matmul anyway), then a single cost evaluation over the
+    # flattened [TK*M, d] point block.  The previous TILE_K-times Python
+    # unroll emitted TILE_K copies of the cost function per tile, which
+    # blew the compile time up past practicality (round-1 VERDICT item 2).
+    # diff[k, m, e] = sum_d nodes[m, d] * chol[k, e, d]
+    diff = jnp.sum(
+        nodes[None, :, None, :] * chol[:, None, :, :], axis=-1
+    )                                            # [TK, M, d]
+    pts = (diff + mu[:, None, :]).reshape(tk * m, d)
+
+    def rep(p):
+        # repeat each factor's param row across its M sigma points
+        return jnp.broadcast_to(
+            p[:, None], (tk, m) + p.shape[1:]
+        ).reshape((tk * m,) + p.shape[1:])
+
+    phi = cost_fn(pts, *[rep(p) for p in params]).reshape(tk, m)
+    # reductions on the VPU in full f32: the MXU's internal bf16 passes
+    # lose ~3 decimal digits on wphi's wide dynamic range (weights span
+    # 1e-6..0.3 in high-degree rules)
+    wphi = phi * w[None, :]                      # [TK, M]
+    e_phi_ref[...] = jnp.sum(wphi, axis=1, keepdims=True)
+    wd = wphi[:, :, None] * diff                 # [TK, M, d]
+    e_xmu_ref[...] = jnp.sum(wd, axis=1)
+    e_xxt_ref[...] = jnp.sum(
+        wd[:, :, :, None] * diff[:, :, None, :], axis=1
+    )
 
 
 def fused_moments(

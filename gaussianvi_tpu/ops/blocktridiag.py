@@ -27,6 +27,17 @@ from jax import lax
 from .smallmat import chol_small, logdet_spd_small, spd_inv_small, spd_solve_small
 
 
+def _match_vma(x: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+    """Give a fresh constant the device-variance type of ``ref`` so scan
+    carries seeded with it type-check under shard_map (check_vma=True)."""
+    want = getattr(jax.typeof(ref), "vma", frozenset())
+    have = getattr(jax.typeof(x), "vma", frozenset())
+    missing = tuple(want - have)
+    if not missing:
+        return x
+    return lax.pcast(x, missing, to="varying")
+
+
 def spd_solve(mat: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """Solve ``mat @ x = rhs`` for symmetric positive-definite ``mat``.
 
@@ -226,7 +237,7 @@ def gbp_covariance(A: BlockTridiag) -> tuple[jnp.ndarray, jnp.ndarray]:
         m_next = -b_off.T @ spd_solve(d + m, b_off)
         return m_next, m
 
-    zero = jnp.zeros((s, s), A.diag.dtype)
+    zero = _match_vma(jnp.zeros((s, s), A.diag.dtype), A.diag)
     # forward messages f_i into state i, i = 0..n-1 (f_0 = 0)
     f_last, f_head = lax.scan(fwd_step, zero, (A.diag[:-1], A.off))
     fwd_msgs = jnp.concatenate([f_head, f_last[None]], axis=0)
@@ -280,7 +291,7 @@ def gbp_covariance_logdet(
         m_next = -b_off.T @ spd_solve(d + m, b_off)
         return m_next, m
 
-    zero = jnp.zeros((s, s), A.diag.dtype)
+    zero = _match_vma(jnp.zeros((s, s), A.diag.dtype), A.diag)
     f_last, f_head = lax.scan(fwd_step, zero, (A.diag[:-1], A.off))
     fwd_msgs = jnp.concatenate([f_head, f_last[None]], axis=0)
 

@@ -1,6 +1,7 @@
 from .restarts import optimize_restarts, perturb_inits
 from .sharding import (
     make_mesh,
+    optimize_sharded,
     sharded_ngd_step,
     stack_problems,
 )
@@ -9,11 +10,15 @@ from .chain_seqpar import (
     pad_off_for_seqpar,
     solve_seqpar,
 )
-from .time_sharding import sharded_time_ngd_step, to_chain_layout
+from .time_sharding import (
+    optimize_time_sharded,
+    sharded_time_ngd_step,
+    to_chain_layout,
+)
 
 __all__ = [
-    "make_mesh", "sharded_ngd_step", "stack_problems",
+    "make_mesh", "sharded_ngd_step", "optimize_sharded", "stack_problems",
     "optimize_restarts", "perturb_inits",
     "gbp_covariance_logdet_seqpar", "solve_seqpar", "pad_off_for_seqpar",
-    "sharded_time_ngd_step", "to_chain_layout",
+    "sharded_time_ngd_step", "optimize_time_sharded", "to_chain_layout",
 ]

@@ -19,12 +19,12 @@ import jax
 import jax.numpy as jnp
 
 
-def measure_mesh(dp, fp, num_states=64, dim_x=2, repeats=3):
+def measure_mesh(dp, fp, num_states=64, dim_x=2, niters=5, repeats=3):
     from gaussianvi_tpu.examples.chain_estimation import build_chain_estimation
     from gaussianvi_tpu.inference import GVIConfig
     from gaussianvi_tpu.parallel import (
         make_mesh,
-        sharded_ngd_step,
+        optimize_sharded,
         stack_problems,
     )
 
@@ -37,10 +37,10 @@ def measure_mesh(dp, fp, num_states=64, dim_x=2, repeats=3):
         graphs.append(graph)
         states.append(init)
     graph_b, state_b = stack_problems(graphs, states)
-    config = GVIConfig(niters=1, step_size_base=0.9)
+    config = GVIConfig(niters=niters, step_size_base=0.9)
 
     def run():
-        out, costs = sharded_ngd_step(graph_b, state_b, config, mesh)
+        out, _ = optimize_sharded(graph_b, state_b, config, mesh)
         return float(jnp.sum(out.mu))  # host sync
 
     run()  # compile
@@ -49,7 +49,21 @@ def measure_mesh(dp, fp, num_states=64, dim_x=2, repeats=3):
         t0 = time.perf_counter()
         run()
         best = min(best, time.perf_counter() - t0)
-    return dp / best  # problem-iterations per second
+    return dp * niters / best  # problem-iterations per second
+
+
+def mesh_shapes(n):
+    """All power-of-2 (dp, fp) splits of up to n devices."""
+    shapes = [(1, 1)]
+    d = 2
+    while d <= n:
+        shapes.extend(
+            (dp, d // dp)
+            for dp in (2 ** k for k in range(d.bit_length()))
+            if dp <= d and d % dp == 0
+        )
+        d *= 2
+    return sorted(set(shapes))
 
 
 def main(max_devices=None):
@@ -57,19 +71,15 @@ def main(max_devices=None):
     if max_devices:
         n = min(n, int(max_devices))
     results = {}
-    shapes = [(1, 1)]
-    fp = 2
-    while fp <= n:
-        shapes.append((1, fp))
-        fp *= 2
-    for dp, fp in shapes:
+    for dp, fp in mesh_shapes(n):
         rate = measure_mesh(dp, fp)
         results[(dp, fp)] = rate
         base = results[(1, 1)]
         eff = rate / (base * dp * fp)
         print(
             f"mesh dp={dp} fp={fp}: {rate:.2f} prob-iters/s, "
-            f"scaling efficiency {eff:.2f}"
+            f"scaling efficiency {eff:.2f}",
+            flush=True,
         )
     return results
 

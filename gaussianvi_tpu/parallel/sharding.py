@@ -12,16 +12,18 @@ with thread-private gradient accumulators reduced in a critical section
   assembled with one ``psum`` over ICI — the all-reduce that replaces the
   OMP critical section.
 
-The per-iteration line search compares globally psum-reduced costs, so every
-device takes the same accept/reject branch and stays in lockstep.
-
-Implementation: one ``shard_map`` over the whole NGD iteration.  The chain
-GBP sweep and the linear-factor closed forms are cheap and replicated within
-each fp group; only the quadrature hot loop is sharded.
+The iteration body is THE SAME code as the single-device path
+(:func:`..inference.optimize.run_gvi`), driven through
+:class:`FactorShardEngine` — so the full reference loop semantics
+(temperature schedule, EMA smoothing, convergence freeze, backtracking on
+the globally psum-reduced cost so every device stays in lockstep) hold
+sharded, and :func:`optimize_sharded` trajectories match ``optimize()``
+exactly (up to psum reassociation).
 """
 
 from __future__ import annotations
 
+from dataclasses import replace
 from functools import partial
 
 import jax
@@ -31,30 +33,16 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..factors import moments as mm
+from ..inference.config import GVIConfig
+from ..inference.engine import LocalEngine
 from ..inference.graph import (
     FactorGraph,
     GaussianState,
     gather_marginals,
     scatter_gradients,
 )
-from ..ops.blocktridiag import BlockTridiag, gbp_covariance_logdet, solve
-from ..ops.parallel_chain import gbp_covariance_logdet_assoc, solve_assoc
-
-
-def _chain_ops(config, num_states):
-    if config.chain_impl == "lanes":
-        from ..kernels.chain_lanes import (
-            gbp_covariance_logdet_lanes_single,
-            solve_lanes_single,
-        )
-
-        return gbp_covariance_logdet_lanes_single, solve_lanes_single
-    use_assoc = config.chain_impl == "assoc" or (
-        config.chain_impl == "auto" and num_states >= config.assoc_threshold
-    )
-    if use_assoc:
-        return gbp_covariance_logdet_assoc, solve_assoc
-    return gbp_covariance_logdet, solve
+from ..inference.optimize import GVIHistory, concat_factor_costs, run_gvi
+from ..ops.blocktridiag import BlockTridiag
 
 
 def make_mesh(dp: int, fp: int, devices=None) -> Mesh:
@@ -80,8 +68,6 @@ def _align_slice_offsets(graphs: list[FactorGraph]) -> list[FactorGraph]:
     supports start at different states (e.g. anchors at different indices)
     can't stack with it set — fall those batches back to the general
     gather/scatter path (slice_offset=None) before stacking."""
-    from dataclasses import replace
-
     out = list(graphs)
     for attr in ("nonlinear", "linear"):
         groups = [getattr(g, attr) for g in out]
@@ -101,8 +87,6 @@ def _align_slice_offsets(graphs: list[FactorGraph]) -> list[FactorGraph]:
 def _null_nonlinear_slice_offsets(graph: FactorGraph) -> FactorGraph:
     """Drop slice_offset from fp-sharded nonlinear batches (static metadata
     that is only valid for the unsharded global K axis)."""
-    from dataclasses import replace
-
     return replace(graph, nonlinear=tuple(
         replace(fb, slice_offset=None) if fb.slice_offset is not None else fb
         for fb in graph.nonlinear
@@ -151,172 +135,159 @@ def _state_spec(batched: bool):
     return GaussianState(P(*dp), BlockTridiag(P(*dp), P(*dp)))
 
 
-def _iteration_local(graph, state, temperature, config, method="ngd"):
-    """One NGD/prox iteration on the local shard; factor reductions psum over
-    fp.
+def _history_spec(graph: FactorGraph) -> GVIHistory:
+    """out_specs for a run_gvi history under vmap-over-local-problems:
+    problem axis over dp; nonlinear per-factor costs reassemble their
+    (sharded) K axis over fp, linear costs are fp-replicated."""
+    return GVIHistory(
+        mu=P("dp"), cov_diag=P("dp"), cov_off=P("dp"),
+        prec_diag=P("dp"), prec_off=P("dp"),
+        cost=P("dp"),
+        factor_costs=(
+            tuple(P("dp", None, "fp") for _ in graph.nonlinear)
+            + tuple(P("dp") for _ in graph.linear)
+        ),
+        accepted_step=P("dp"),
+    )
 
-    Runs inside shard_map: ``graph`` holds this device's factor shard,
-    ``state`` the full (replicated within the fp group) joint state.
+
+class FactorShardEngine(LocalEngine):
+    """Engine hooks with the nonlinear-factor axis sharded over ``fp``.
+
+    The chain (covariance/log-det/solve) and the closed-form linear factors
+    are cheap and replicated within each fp group — only the quadrature hot
+    loop is sharded; the joint (Vdmu, Vddmu) and the total nonlinear cost
+    are assembled with one ``psum`` over fp.  Loop-carried scalars become
+    dp-varying after the first data-dependent decision (``carry_axes``).
     """
-    mu, precision = state.mu, state.precision
-    cov_fn, solve_fn = _chain_ops(config, mu.shape[0])
 
-    def cost_of(mu_, prec_):
-        cov_d, cov_o, ld = cov_fn(prec_)
-        local = jnp.zeros((), mu_.dtype)
-        for fb in graph.nonlinear:
-            mu_k, cov_k = gather_marginals(fb.start, fb.nb, mu_, cov_d, cov_o)
-            e_phi = mm.expectation_phi(
-                fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params
-            )
-            local = local + jnp.sum(e_phi) / temperature
-        total = lax.psum(local, "fp")
-        for lb in graph.linear:  # replicated within the fp group
-            mu_k, cov_k = gather_marginals(lb.start, lb.nb, mu_, cov_d, cov_o)
-            total = total + jnp.sum(
-                mm.linear_cost(
-                    lb.lam, lb.psi, lb.target_mu, lb.target_prec,
-                    lb.constant, mu_k, cov_k,
-                )
-            ) / temperature
-        return total + 0.5 * ld, cov_d, cov_o
+    carry_axes = ("dp",)
 
-    cost_iter, cov_diag, cov_off = cost_of(mu, precision)
+    def __init__(self, graph: FactorGraph, config, axis: str = "fp"):
+        super().__init__(graph, config, use_pallas=False)
+        self.axis = axis
 
-    if method == "prox":
-        # JKO pseudo-gradients: per-factor (no joint solve); nonlinear
-        # contributions sharded over fp, linear replicated
-        from ..inference.gvi import prox_gradients
-        from .. inference.graph import FactorGraph as _FG
+    def reduce_fc(self, fc_tuple):
+        n_nl = len(self.graph.nonlinear)
+        nl, lin = fc_tuple[:n_nl], fc_tuple[n_nl:]
+        total = jnp.zeros(())
+        if nl:
+            total = total + lax.psum(sum(jnp.sum(f) for f in nl), self.axis)
+        if lin:
+            # linear factors are replicated within the fp group — no psum
+            total = total + sum(jnp.sum(f) for f in lin)
+        return total
 
-        nl_graph = _FG(
-            num_states=graph.num_states, state_dim=graph.state_dim,
-            nonlinear=graph.nonlinear, linear=(),
-        )
-        lin_graph = _FG(
-            num_states=graph.num_states, state_dim=graph.state_dim,
-            nonlinear=(), linear=graph.linear,
-        )
-        step0 = config.step_size_base
-        dmu_nl, dprec_nl = prox_gradients(
-            nl_graph, mu, cov_diag, cov_off, step0
-        )
-        dmu = lax.psum(dmu_nl, "fp")
-        dprec = BlockTridiag(
-            lax.psum(dprec_nl.diag, "fp"), lax.psum(dprec_nl.off, "fp")
-        )
-        dmu_l, dprec_l = prox_gradients(
-            lin_graph, mu, cov_diag, cov_off, step0
-        )
-        dmu = dmu + dmu_l
-        dprec = dprec + dprec_l
-    else:
-        # --- factor-parallel NGD assembly: local scatter + psum over fp ---
+    def ngd_gradients(self, mu, cov_diag, cov_off, temperature,
+                      eval_dtype=None):
         n, s = mu.shape
         vdmu = jnp.zeros_like(mu)
         vddmu = BlockTridiag.zeros(n, s, mu.dtype)
-        for fb in graph.nonlinear:
+        for fb in self.graph.nonlinear:
             mu_k, cov_k = gather_marginals(
                 fb.start, fb.nb, mu, cov_diag, cov_off
             )
             e_phi, e_xmu, e_xxt = mm.gh_moments(
-                fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params
+                fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params,
+                eval_dtype,
             )
             vd, vdd = mm.ngd_local_gradients(
                 e_phi, e_xmu, e_xxt, cov_k, temperature
             )
-            vdmu, vddmu = scatter_gradients(
-                fb.start, fb.nb, vd, vdd, vdmu, vddmu
-            )
-        vdmu = lax.psum(vdmu, "fp")
+            vdmu, vddmu = scatter_gradients(fb.start, fb.nb, vd, vdd, vdmu, vddmu)
+        vdmu = lax.psum(vdmu, self.axis)
         vddmu = BlockTridiag(
-            lax.psum(vddmu.diag, "fp"), lax.psum(vddmu.off, "fp")
+            lax.psum(vddmu.diag, self.axis), lax.psum(vddmu.off, self.axis)
         )
-        for lb in graph.linear:
+        for lb in self.graph.linear:
             mu_k, _ = gather_marginals(lb.start, lb.nb, mu, cov_diag, cov_off)
             vd, vdd = mm.linear_local_gradients(
                 lb.lam, lb.psi, lb.target_mu, lb.target_prec, lb.constant,
                 mu_k, temperature,
             )
-            vdmu, vddmu = scatter_gradients(
-                lb.start, lb.nb, vd, vdd, vdmu, vddmu
-            )
+            vdmu, vddmu = scatter_gradients(lb.start, lb.nb, vd, vdd, vdmu, vddmu)
+        return vdmu, vddmu
 
-        dprec = vddmu - precision
-        dmu = solve_fn(vddmu, -vdmu.reshape(-1)).reshape(mu.shape)
+    def prox_gradients(self, mu, cov_diag, cov_off, step_size):
+        from ..inference.gvi import prox_gradients
 
-    # --- backtracking on the globally-reduced cost (lockstep) ---
-    def ls_cond(c):
-        return jnp.logical_not(c[2])
-
-    def ls_body(c):
-        # updates gated on ``live`` — under vmap the batched while_loop runs
-        # until all lanes finish and finished lanes must stay frozen.
-        step, n_failed, done, acc_mu, acc_prec, accepted = c
-        live = jnp.logical_not(done)
-        trial = step * config.step_decay
-        new_mu = mu + trial * dmu
-        new_prec = (precision + dprec.scale(trial)).symmetrize()
-        new_cost, _, _ = cost_of(new_mu, new_prec)
-        ok = jnp.logical_and(new_cost < cost_iter, live)
-        n_failed = jnp.where(
-            jnp.logical_and(live, jnp.logical_not(ok)), n_failed + 1, n_failed
+        nl_graph = replace(self.graph, linear=())
+        lin_graph = replace(self.graph, nonlinear=())
+        dmu_nl, dprec_nl = prox_gradients(
+            nl_graph, mu, cov_diag, cov_off, step_size
         )
-        new_done = jnp.logical_or(
-            done, jnp.logical_or(ok, n_failed > config.niters_backtrack)
+        dmu = lax.psum(dmu_nl, self.axis)
+        dprec = BlockTridiag(
+            lax.psum(dprec_nl.diag, self.axis),
+            lax.psum(dprec_nl.off, self.axis),
         )
-        acc_mu = jnp.where(ok, new_mu, acc_mu)
-        acc_prec = BlockTridiag(
-            jnp.where(ok, new_prec.diag, acc_prec.diag),
-            jnp.where(ok, new_prec.off, acc_prec.off),
+        dmu_l, dprec_l = prox_gradients(
+            lin_graph, mu, cov_diag, cov_off, step_size
         )
-        new_step = jnp.where(live, trial, step)
-        return (new_step, n_failed, new_done, acc_mu, acc_prec,
-                jnp.logical_or(accepted, ok))
-
-    init = (
-        jnp.asarray(config.step_size_base, mu.dtype),
-        jnp.zeros((), jnp.int32),
-        jnp.zeros((), bool),
-        mu,
-        precision,
-        jnp.zeros((), bool),
-    )
-    _, _, _, acc_mu, acc_prec, _ = lax.while_loop(ls_cond, ls_body, init)
-    return GaussianState(acc_mu, acc_prec), cost_iter
+        return dmu + dmu_l, dprec + dprec_l
 
 
-def sharded_ngd_step(graph_b, state_b, config, mesh: Mesh, temperature=1.0,
-                     method: str = "ngd"):
-    """One full NGD training step, SPMD over (dp, fp).
+def optimize_sharded(
+    graph_b,
+    state_b,
+    config: GVIConfig,
+    mesh: Mesh,
+    method: str = "ngd",
+) -> tuple[GaussianState, GVIHistory]:
+    """The FULL GVI loop (identical semantics to ``optimize``), SPMD over
+    (dp, fp).
 
     ``graph_b``/``state_b`` carry a leading problem axis (sharded over dp);
-    each factor batch's K axis is sharded over fp.  Returns the updated
-    batched state and per-problem costs.
+    each nonlinear batch's K axis is sharded over fp.  Returns the batched
+    final state and per-problem history — trajectories match a vmapped
+    ``optimize`` run up to floating-point reassociation of the psum.
     """
     graph_spec = _graph_specs(graph_b, batched=True)
     state_spec = _state_spec(batched=True)
+    hist_spec = _history_spec(graph_b)
 
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(graph_spec, state_spec),
-        out_specs=(state_spec, P("dp")),
-        # freshly-created constants inside scan carries start replicated and
-        # become dp/fp-varying after one step; skip the static vma check
-        check_vma=False,
+        out_specs=(state_spec, hist_spec),
     )
-    def step(graph_loc, state_loc):
+    def run(graph_loc, state_loc):
         # the factor K axis is sharded over fp, so a shard's local `start`
         # no longer satisfies start == slice_offset + arange(K_local) for
-        # shards > 0: null the now-wrong static metadata instead of carrying
-        # it into the sharded scope
+        # shards > 0: null the now-wrong static metadata
         graph_loc = _null_nonlinear_slice_offsets(graph_loc)
 
         def one(graph_i, state_i):
-            t = jnp.asarray(temperature, state_i.mu.dtype)
-            return _iteration_local(graph_i, state_i, t, config, method)
+            engine = FactorShardEngine(graph_i, config)
+            return run_gvi(engine, state_i, config, method)
 
         return jax.vmap(one)(graph_loc, state_loc)
 
-    return jax.jit(step)(graph_b, state_b)
+    state, hist = jax.jit(run)(graph_b, state_b)
+    return state, hist._replace(
+        factor_costs=concat_factor_costs(
+            hist.factor_costs, config.niters, state.mu.dtype
+        )
+    )
+
+
+def sharded_ngd_step(graph_b, state_b, config, mesh: Mesh, temperature=1.0,
+                     method: str = "ngd"):
+    """One NGD/prox step, SPMD over (dp, fp), at a fixed temperature.
+
+    Kept as the single-step entry point (the multi-iteration loop is
+    :func:`optimize_sharded`).  Returns the updated batched state and the
+    per-problem cost at the top of the step.
+    """
+    cfg = replace(
+        config,
+        niters=1,
+        temperature=float(temperature),
+        # a single fixed-temperature step: no scheduled switch, and an
+        # exhausted line search must not change the temperature
+        niters_lowtemp=2**30,
+        high_temperature=float(temperature),
+    )
+    state, hist = optimize_sharded(graph_b, state_b, cfg, mesh, method)
+    return state, hist.cost[:, 0]

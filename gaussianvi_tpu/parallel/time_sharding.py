@@ -1,13 +1,16 @@
-"""Time-sharded NGD training step: the trajectory axis over the mesh.
+"""Time-sharded GVI: the trajectory axis over the mesh.
 
 Completes the sequence-parallel story of SURVEY.md section 5.7 at the
-training-step level: with the chain engine of :mod:`.chain_seqpar`, a full
-NGD iteration — covariance, factor expectations, joint gradient assembly,
-natural-gradient solve, lockstep line search — runs with the N states
-sharded over an ``sp`` mesh axis.  Per-iteration communication is O(P)
-small messages: the chain engine's segment summaries, one mu/cov halo
-exchange for the factors straddling segment boundaries, one reverse halo
-for their gradient contributions, and the psum'd line-search costs.
+training-step level: with the chain engine of :mod:`.chain_seqpar`, the FULL
+GVI loop — covariance, factor expectations, joint gradient assembly,
+natural-gradient solve, lockstep line search, temperature schedule, EMA,
+convergence freeze — runs with the N states sharded over an ``sp`` mesh
+axis.  The iteration body is the SAME code as the single-device path
+(:func:`..inference.optimize.run_gvi`) driven through
+:class:`TimeShardEngine`.  Per-iteration communication is O(P) small
+messages: the chain engine's segment summaries, one mu/cov halo exchange
+for the factors straddling segment boundaries, one reverse halo for their
+gradient contributions, and the psum'd line-search costs.
 
 Layout ("chain layout"): factors are stored per-state/per-edge so they
 shard with the states they touch —
@@ -16,7 +19,9 @@ shard with the states they touch —
   state, row j belonging to state j;
 * binary (nb=2) linear batches are stored per-edge, padded to N rows with
   ``constant = 0`` (closed-form linear costs and gradients scale by the
-  constant, so padding rows contribute exact zeros);
+  constant, so padding rows contribute exact zeros; the prox path masks
+  padded rows explicitly, since the JKO step of even a zero potential
+  carries entropy flow);
 * unary linear batches are stored per-state, masked the same way.
 
 :func:`to_chain_layout` converts a standard :class:`FactorGraph` (e.g. from
@@ -35,7 +40,10 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..factors import moments as mm
+from ..inference.config import GVIConfig
 from ..inference.graph import FactorGraph, GaussianState
+from ..inference.gvi import _bw_jko_step
+from ..inference.optimize import GVIHistory, concat_factor_costs, run_gvi
 from ..ops.blocktridiag import BlockTridiag
 from .chain_seqpar import gbp_covariance_logdet_seqpar, solve_seqpar
 
@@ -121,157 +129,182 @@ def _edge_marginals(mu_l, cov_diag, cov_off, axis_name):
     return mu_e, jnp.concatenate([top, bot], axis=-2)
 
 
-def _local_costs(graph, mu_l, cov_diag, cov_off, temperature, axis_name):
-    """This segment's share of sum_k E[psi_k]/T (scalar, psum'd later)."""
-    total = jnp.zeros((), mu_l.dtype)
-    mu_e, cov_e = _edge_marginals(mu_l, cov_diag, cov_off, axis_name)
-    for fb in graph.nonlinear:
-        e_phi = mm.expectation_phi(
-            fb.nodes, fb.weights, mu_l, cov_diag, fb.cost_fn, fb.params
-        )
-        total = total + jnp.sum(e_phi) / temperature
-    for lb in graph.linear:
-        mk, ck = (mu_l, cov_diag) if lb.nb == 1 else (mu_e, cov_e)
-        total = total + jnp.sum(mm.linear_cost(
-            lb.lam, lb.psi, lb.target_mu, lb.target_prec, lb.constant,
-            mk, ck,
-        )) / temperature
-    return total
-
-
-def _assemble_gradients(graph, mu_l, cov_diag, cov_off, temperature,
-                        axis_name):
-    """Joint (Vdmu [Nl, s], Vddmu diag [Nl,s,s] + padded off [Nl,s,s]).
-
-    Edge factors scatter their right-state contribution with one reverse
-    halo; the wrapped contribution entering device 0 comes from the padded
-    (constant=0) globally-last edge, hence exact zeros.
-    """
-    nl, s = mu_l.shape
-    vdmu = jnp.zeros_like(mu_l)
-    vddmu_d = jnp.zeros((nl, s, s), mu_l.dtype)
-    vddmu_o = jnp.zeros((nl, s, s), mu_l.dtype)
-
-    for fb in graph.nonlinear:
-        e_phi, e_xmu, e_xxt = mm.gh_moments(
-            fb.nodes, fb.weights, mu_l, cov_diag, fb.cost_fn, fb.params
-        )
-        vd, vdd = mm.ngd_local_gradients(
-            e_phi, e_xmu, e_xxt, cov_diag, temperature
-        )
-        vdmu = vdmu + vd
-        vddmu_d = vddmu_d + vdd
-
-    mu_e, cov_e = _edge_marginals(mu_l, cov_diag, cov_off, axis_name)
-    for lb in graph.linear:
-        if lb.nb == 1:
-            vd, vdd = mm.linear_local_gradients(
-                lb.lam, lb.psi, lb.target_mu, lb.target_prec, lb.constant,
-                mu_l, temperature,
-            )
-            vdmu = vdmu + vd
-            vddmu_d = vddmu_d + vdd
-        else:
-            vd, vdd = mm.linear_local_gradients(
-                lb.lam, lb.psi, lb.target_mu, lb.target_prec, lb.constant,
-                mu_e, temperature,
-            )  # vd [Nl, 2s], vdd [Nl, 2s, 2s]
-            vdmu = vdmu + vd[:, :s]
-            vddmu_d = vddmu_d + vdd[:, :s, :s]
-            vddmu_o = vddmu_o + vdd[:, :s, s:]
-            # right-state pieces: rows 0..Nl-2 belong to local states
-            # 1..Nl-1; the boundary row goes to the right neighbor
-            vdmu = vdmu.at[1:].add(vd[:-1, s:])
-            vddmu_d = vddmu_d.at[1:].add(vdd[:-1, s:, s:])
-            halo_mu = _right_halo(vd[-1, s:], axis_name)
-            halo_dd = _right_halo(vdd[-1, s:, s:], axis_name)
-            vdmu = vdmu.at[0].add(halo_mu)
-            vddmu_d = vddmu_d.at[0].add(halo_dd)
+def _scatter_edge(vd, vdd, vdmu, vddmu_d, vddmu_o, s, axis_name):
+    """Scatter per-edge (vd [Nl, 2s], vdd [Nl, 2s, 2s]) contributions into
+    local per-state accumulators.  The right-state pieces of rows 0..Nl-2
+    belong to local states 1..Nl-1; the boundary row's go to the right
+    neighbor via one reverse halo (the wrapped contribution entering device
+    0 comes from the padded globally-last edge, hence exact zeros)."""
+    vdmu = vdmu + vd[:, :s]
+    vddmu_d = vddmu_d + vdd[:, :s, :s]
+    vddmu_o = vddmu_o + vdd[:, :s, s:]
+    vdmu = vdmu.at[1:].add(vd[:-1, s:])
+    vddmu_d = vddmu_d.at[1:].add(vdd[:-1, s:, s:])
+    halo_mu = _right_halo(vd[-1, s:], axis_name)
+    halo_dd = _right_halo(vdd[-1, s:, s:], axis_name)
+    vdmu = vdmu.at[0].add(halo_mu)
+    vddmu_d = vddmu_d.at[0].add(halo_dd)
     return vdmu, vddmu_d, vddmu_o
 
 
-def time_ngd_iteration(graph, mu_l, prec_d, prec_o, temperature, config,
-                       axis_name="sp"):
-    """One NGD iteration, time-sharded (shard_map body).
+class TimeShardEngine:
+    """Engine hooks with the trajectory (time) axis sharded over ``sp``.
 
-    prec_o uses the padded [Nl, s, s] edge layout of
-    :mod:`.chain_seqpar`.  Line search follows the lockstep pattern of
-    :func:`.sharding._iteration_local` on the psum'd global cost.
+    The local state is the segment ``mu_l [Nl, s]`` with precision blocks
+    ``BlockTridiag(diag [Nl, s, s], off [Nl, s, s])`` in the PADDED edge
+    layout of :mod:`.chain_seqpar` (row j's off block is the edge to the
+    next state; the globally-last row is zero).
     """
-    def cost_of(mu_, pd_, po_):
-        cd, co, ld = gbp_covariance_logdet_seqpar(pd_, po_, axis_name)
-        local = _local_costs(graph, mu_, cd, co, temperature, axis_name)
-        return lax.psum(local, axis_name) + 0.5 * ld, cd, co
 
-    cost_iter, cov_diag, cov_off = cost_of(mu_l, prec_d, prec_o)
-    vdmu, vddmu_d, vddmu_o = _assemble_gradients(
-        graph, mu_l, cov_diag, cov_off, temperature, axis_name
-    )
-    dprec_d = vddmu_d - prec_d
-    dprec_o = vddmu_o - prec_o
-    dmu = solve_seqpar(vddmu_d, vddmu_o, -vdmu, axis_name)
-    # indefinite Vddmu -> NaN direction; fall back to the (always SPD)
-    # current precision as metric, agreed GLOBALLY so devices stay in
-    # lockstep (mirrors inference/optimize.py's fallback)
-    fallback = solve_seqpar(prec_d, prec_o, -vdmu, axis_name)
-    n_bad = lax.psum(
-        jnp.sum(jnp.logical_not(jnp.isfinite(dmu))), axis_name
-    )
-    dmu = jnp.where(n_bad == 0, dmu, fallback)
+    # loop-carried scalars derive only from psum'd (sp-invariant) values
+    carry_axes: tuple[str, ...] = ()
 
-    def ls_cond(c):
-        return jnp.logical_not(c[2])
+    def __init__(self, graph: FactorGraph, config, axis: str = "sp"):
+        self.graph = graph
+        self.config = config
+        self.axis = axis
 
-    def ls_body(c):
-        step, n_failed, done, acc = c
-        live = jnp.logical_not(done)
-        trial = step * config.step_decay
-        new_mu = mu_l + trial * dmu
-        new_pd = prec_d + trial * dprec_d
-        new_pd = 0.5 * (new_pd + jnp.swapaxes(new_pd, -1, -2))
-        new_po = prec_o + trial * dprec_o
-        new_cost, _, _ = cost_of(new_mu, new_pd, new_po)
-        ok = jnp.logical_and(new_cost < cost_iter, live)
-        n_failed = jnp.where(
-            jnp.logical_and(live, jnp.logical_not(ok)), n_failed + 1,
-            n_failed,
+    # -- chain ---------------------------------------------------------------
+    def cov_logdet(self, prec: BlockTridiag):
+        return gbp_covariance_logdet_seqpar(prec.diag, prec.off, self.axis)
+
+    # -- costs ---------------------------------------------------------------
+    def factor_costs_raw(self, mu_l, cov_diag, cov_off, eval_dtype=None):
+        g = self.graph
+        out = []
+        mu_e = cov_e = None
+        for fb in g.nonlinear:
+            out.append(mm.expectation_phi(
+                fb.nodes, fb.weights, mu_l, cov_diag, fb.cost_fn, fb.params,
+                eval_dtype,
+            ))
+        for lb in g.linear:
+            if lb.nb == 2 and mu_e is None:
+                mu_e, cov_e = _edge_marginals(
+                    mu_l, cov_diag, cov_off, self.axis
+                )
+            mk, ck = (mu_l, cov_diag) if lb.nb == 1 else (mu_e, cov_e)
+            out.append(mm.linear_cost(
+                lb.lam, lb.psi, lb.target_mu, lb.target_prec, lb.constant,
+                mk, ck,
+            ))
+        return tuple(out)
+
+    def reduce_fc(self, fc_tuple):
+        local = jnp.zeros(())
+        for f in fc_tuple:
+            local = local + jnp.sum(f)
+        return lax.psum(local, self.axis)
+
+    # -- gradients -----------------------------------------------------------
+    def ngd_gradients(self, mu_l, cov_diag, cov_off, temperature,
+                      eval_dtype=None):
+        g = self.graph
+        nl, s = mu_l.shape
+        vdmu = jnp.zeros_like(mu_l)
+        vddmu_d = jnp.zeros((nl, s, s), mu_l.dtype)
+        vddmu_o = jnp.zeros((nl, s, s), mu_l.dtype)
+
+        for fb in g.nonlinear:
+            e_phi, e_xmu, e_xxt = mm.gh_moments(
+                fb.nodes, fb.weights, mu_l, cov_diag, fb.cost_fn, fb.params,
+                eval_dtype,
+            )
+            vd, vdd = mm.ngd_local_gradients(
+                e_phi, e_xmu, e_xxt, cov_diag, temperature
+            )
+            vdmu = vdmu + vd
+            vddmu_d = vddmu_d + vdd
+
+        mu_e = cov_e = None
+        for lb in g.linear:
+            if lb.nb == 1:
+                vd, vdd = mm.linear_local_gradients(
+                    lb.lam, lb.psi, lb.target_mu, lb.target_prec,
+                    lb.constant, mu_l, temperature,
+                )
+                vdmu = vdmu + vd
+                vddmu_d = vddmu_d + vdd
+            else:
+                if mu_e is None:
+                    mu_e, cov_e = _edge_marginals(
+                        mu_l, cov_diag, cov_off, self.axis
+                    )
+                vd, vdd = mm.linear_local_gradients(
+                    lb.lam, lb.psi, lb.target_mu, lb.target_prec,
+                    lb.constant, mu_e, temperature,
+                )  # vd [Nl, 2s], vdd [Nl, 2s, 2s]; padded rows exact zero
+                vdmu, vddmu_d, vddmu_o = _scatter_edge(
+                    vd, vdd, vdmu, vddmu_d, vddmu_o, s, self.axis
+                )
+        return vdmu, BlockTridiag(vddmu_d, vddmu_o)
+
+    def prox_gradients(self, mu_l, cov_diag, cov_off, step_size):
+        """Per-factor Bures-Wasserstein JKO pseudo-gradients in chain
+        layout.  Padded linear rows (constant == 0) are masked out: unlike
+        the closed-form NGD gradients, the JKO step of a ZERO potential
+        still moves the covariance (its Wasserstein entropy flow), so a
+        padding row would otherwise contribute spurious expansion."""
+        g = self.graph
+        nl, s = mu_l.shape
+        dmu = jnp.zeros_like(mu_l)
+        dpd = jnp.zeros((nl, s, s), mu_l.dtype)
+        dpo = jnp.zeros((nl, s, s), mu_l.dtype)
+
+        for fb in g.nonlinear:
+            e_phi, e_xmu, e_xxt = mm.gh_moments(
+                fb.nodes, fb.weights, mu_l, cov_diag, fb.cost_fn, fb.params
+            )
+            b_k, s_k = mm.bw_local_gradients(e_phi, e_xmu, e_xxt, cov_diag)
+            vd, vdd = _bw_jko_step(b_k, s_k, cov_diag, step_size)
+            dmu = dmu + vd
+            dpd = dpd + vdd
+
+        mu_e = cov_e = None
+        for lb in g.linear:
+            if lb.nb == 2 and mu_e is None:
+                mu_e, cov_e = _edge_marginals(
+                    mu_l, cov_diag, cov_off, self.axis
+                )
+            mk, ck = (mu_l, cov_diag) if lb.nb == 1 else (mu_e, cov_e)
+            # closed-form BW grads (proxgd/ProxGVIFactorizedLinear.h
+            # compute_BW_grads — note: no constant factor in the grads)
+            resid = jnp.einsum("krd,kd->kr", lb.lam, mk) - jnp.einsum(
+                "krt,kt->kr", lb.psi, lb.target_mu
+            )
+            b_k = jnp.einsum("krd,krs,ks->kd", lb.lam, lb.target_prec, resid)
+            s_k = jnp.einsum(
+                "kra,krs,ksb->kab", lb.lam, lb.target_prec, lb.lam
+            )
+            vd, vdd = _bw_jko_step(b_k, s_k, ck, step_size)
+            mask = (lb.constant != 0).astype(mu_l.dtype)
+            vd = vd * mask[:, None]
+            vdd = vdd * mask[:, None, None]
+            if lb.nb == 1:
+                dmu = dmu + vd
+                dpd = dpd + vdd
+            else:
+                dmu, dpd, dpo = _scatter_edge(
+                    vd, vdd, dmu, dpd, dpo, s, self.axis
+                )
+        return dmu, BlockTridiag(dpd, dpo)
+
+    # -- solve ---------------------------------------------------------------
+    def solve_pair(self, bt_main: BlockTridiag, bt_fallback: BlockTridiag,
+                   rhs):
+        x_main = solve_seqpar(bt_main.diag, bt_main.off, rhs, self.axis)
+        x_fb = solve_seqpar(bt_fallback.diag, bt_fallback.off, rhs, self.axis)
+        return x_main, x_fb
+
+    def all_finite(self, x) -> jnp.ndarray:
+        """Agreed GLOBALLY so all devices take the same fallback branch."""
+        n_bad = lax.psum(
+            jnp.sum(jnp.logical_not(jnp.isfinite(x))), self.axis
         )
-        done = jnp.logical_or(
-            done, jnp.logical_or(ok, n_failed > config.niters_backtrack)
-        )
-        acc_mu, acc_pd, acc_po = acc
-        acc = (
-            jnp.where(ok, new_mu, acc_mu),
-            jnp.where(ok, new_pd, acc_pd),
-            jnp.where(ok, new_po, acc_po),
-        )
-        return (jnp.where(live, trial, step), n_failed, done, acc)
-
-    init = (
-        jnp.asarray(config.step_size_base, mu_l.dtype),
-        jnp.zeros((), jnp.int32),
-        jnp.zeros((), bool),
-        (mu_l, prec_d, prec_o),
-    )
-    _, _, _, (acc_mu, acc_pd, acc_po) = lax.while_loop(ls_cond, ls_body, init)
-    return acc_mu, acc_pd, acc_po, cost_iter
+        return n_bad == 0
 
 
-def sharded_time_ngd_step(graph: FactorGraph, state: GaussianState,
-                          config, mesh: Mesh, temperature=1.0):
-    """One NGD step with the trajectory axis sharded over mesh axis 'sp'.
-
-    ``graph`` must be in chain layout (:func:`to_chain_layout`).  Returns
-    (GaussianState, cost_before_step).
-    """
-    n, s = state.mu.shape
-    p = mesh.shape["sp"]
-    if n % p:
-        raise ValueError(f"num_states {n} not divisible by sp={p}")
-    off_pad = jnp.concatenate(
-        [state.precision.off, jnp.zeros((1, s, s), state.mu.dtype)]
-    )
-
+def _chain_graph_specs(graph: FactorGraph) -> FactorGraph:
     def nl_spec(fb):
         return type(fb)(
             start=P("sp"), nodes=P(), weights=P(),
@@ -288,29 +321,89 @@ def sharded_time_ngd_step(graph: FactorGraph, state: GaussianState,
             slice_offset=lb.slice_offset,
         )
 
-    graph_spec = FactorGraph(
+    return FactorGraph(
         num_states=graph.num_states, state_dim=graph.state_dim,
         nonlinear=tuple(nl_spec(fb) for fb in graph.nonlinear),
         linear=tuple(lin_spec(lb) for lb in graph.linear),
     )
 
+
+def optimize_time_sharded(
+    graph: FactorGraph,
+    state: GaussianState,
+    config: GVIConfig,
+    mesh: Mesh,
+    method: str = "ngd",
+) -> tuple[GaussianState, GVIHistory]:
+    """The FULL GVI loop with the trajectory axis sharded over mesh axis
+    'sp' — identical semantics (and trajectories, up to psum reassociation)
+    to ``optimize``.
+
+    ``graph`` must be in chain layout (:func:`to_chain_layout`).
+    """
+    n, s = state.mu.shape
+    p = mesh.shape["sp"]
+    if n % p:
+        raise ValueError(f"num_states {n} not divisible by sp={p}")
+    off_pad = jnp.concatenate(
+        [state.precision.off, jnp.zeros((1, s, s), state.mu.dtype)]
+    )
+    graph_spec = _chain_graph_specs(graph)
+    state_spec = GaussianState(P("sp"), BlockTridiag(P("sp"), P("sp")))
+    hist_spec = GVIHistory(
+        mu=P(None, "sp"), cov_diag=P(None, "sp"), cov_off=P(None, "sp"),
+        prec_diag=P(None, "sp"), prec_off=P(None, "sp"),
+        cost=P(),
+        factor_costs=tuple(
+            P(None, "sp") for _ in graph.nonlinear + graph.linear
+        ),
+        accepted_step=P(),
+    )
+
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(graph_spec, P("sp"), P("sp"), P("sp")),
-        out_specs=(P("sp"), P("sp"), P("sp"), P()),
-        check_vma=False,
+        in_specs=(graph_spec, state_spec),
+        out_specs=(state_spec, hist_spec),
     )
-    def step(graph_loc, mu_l, pd_l, po_l):
-        t = jnp.asarray(temperature, mu_l.dtype)
-        return time_ngd_iteration(
-            graph_loc, mu_l, pd_l, po_l, t, config, "sp"
-        )
+    def run(graph_loc, state_loc):
+        engine = TimeShardEngine(graph_loc, config)
+        return run_gvi(engine, state_loc, config, method)
 
-    acc_mu, acc_pd, acc_po, cost = jax.jit(step)(
-        graph, state.mu, state.precision.diag, off_pad
+    final, hist = jax.jit(run)(
+        graph, GaussianState(state.mu, BlockTridiag(state.precision.diag,
+                                                    off_pad))
     )
-    return (
-        GaussianState(acc_mu, BlockTridiag(acc_pd, acc_po[:-1])),
-        cost,
+    # strip the padded (globally-last, always-zero) off-diagonal row
+    final = GaussianState(
+        final.mu,
+        BlockTridiag(final.precision.diag, final.precision.off[:-1]),
     )
+    hist = hist._replace(
+        cov_off=hist.cov_off[:, :-1],
+        prec_off=hist.prec_off[:, :-1],
+        factor_costs=concat_factor_costs(
+            hist.factor_costs, config.niters, state.mu.dtype
+        ),
+    )
+    return final, hist
+
+
+def sharded_time_ngd_step(graph: FactorGraph, state: GaussianState,
+                          config, mesh: Mesh, temperature=1.0,
+                          method: str = "ngd"):
+    """One GVI step with the trajectory axis sharded over 'sp' at a fixed
+    temperature (the multi-iteration loop is :func:`optimize_time_sharded`).
+
+    ``graph`` must be in chain layout (:func:`to_chain_layout`).  Returns
+    (GaussianState, cost_before_step).
+    """
+    cfg = replace(
+        config,
+        niters=1,
+        temperature=float(temperature),
+        niters_lowtemp=2**30,
+        high_temperature=float(temperature),
+    )
+    final, hist = optimize_time_sharded(graph, state, cfg, mesh, method)
+    return final, hist.cost[0]

@@ -214,3 +214,81 @@ class TestTimeShardedStep:
             )
         with pytest.raises(ValueError):
             to_chain_layout(bad)
+
+
+class TestOptimizeTimeSharded:
+    """The FULL loop time-sharded (VERDICT round-1 item 3)."""
+
+    def test_multi_iteration_matches_optimize(self):
+        from gaussianvi_tpu.examples.chain_estimation import (
+            build_chain_estimation,
+        )
+        from gaussianvi_tpu.inference import GVIConfig, optimize
+        from gaussianvi_tpu.parallel import (
+            optimize_time_sharded,
+            to_chain_layout,
+        )
+
+        graph, init, _ = build_chain_estimation(
+            num_states=16, dim_x=1, gh_degree=4, seed=0
+        )
+        chain_graph = to_chain_layout(graph)
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("sp",))
+        # crosses the scheduled high-temperature switch at iteration 2
+        config = GVIConfig(
+            niters=5, niters_lowtemp=2, temperature=0.5,
+            high_temperature=4.0, step_size_base=0.9,
+        )
+        final_sh, hist_sh = optimize_time_sharded(
+            chain_graph, init, config, mesh
+        )
+        final, hist = optimize(graph, init, config, method="ngd")
+        np.testing.assert_allclose(
+            hist_sh.cost, hist.cost, rtol=1e-9, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            hist_sh.accepted_step, hist.accepted_step, rtol=1e-12
+        )
+        np.testing.assert_allclose(final_sh.mu, final.mu, rtol=1e-7,
+                                   atol=1e-9)
+        np.testing.assert_allclose(
+            final_sh.precision.diag, final.precision.diag, rtol=1e-7,
+            atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            final_sh.precision.off, final.precision.off, rtol=1e-7,
+            atol=1e-9,
+        )
+        np.testing.assert_allclose(hist_sh.mu, hist.mu, rtol=1e-7, atol=1e-9)
+
+    def test_prox_time_sharded_matches(self):
+        """Prox (BW-JKO) time-sharded: padded-row masking must make the
+        chain-layout graph equivalent to the original."""
+        from gaussianvi_tpu.examples.chain_estimation import (
+            build_chain_estimation,
+        )
+        from gaussianvi_tpu.inference import GVIConfig, optimize
+        from gaussianvi_tpu.parallel import (
+            optimize_time_sharded,
+            to_chain_layout,
+        )
+
+        graph, init, _ = build_chain_estimation(
+            num_states=8, dim_x=1, gh_degree=4, seed=1
+        )
+        chain_graph = to_chain_layout(graph)
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
+        config = GVIConfig(niters=3, step_size_base=0.3)
+        final_sh, hist_sh = optimize_time_sharded(
+            chain_graph, init, config, mesh, method="prox"
+        )
+        final, hist = optimize(graph, init, config, method="prox")
+        np.testing.assert_allclose(
+            hist_sh.cost, hist.cost, rtol=1e-8, atol=1e-11
+        )
+        np.testing.assert_allclose(final_sh.mu, final.mu, rtol=1e-7,
+                                   atol=1e-9)
+        np.testing.assert_allclose(
+            final_sh.precision.diag, final.precision.diag, rtol=1e-6,
+            atol=1e-9,
+        )
