@@ -33,10 +33,11 @@ def range_cost_block(pts, beacon, r, sig_r_sq):
 
     Params arrive as flattened dict leaves in key order: beacon, r,
     sig_r_sq.  Must be a module-level function — factor-batch static
-    metadata is compared by identity when stacking problems.
+    metadata is compared by identity when stacking problems.  Batch-dim
+    agnostic (``pts [..., d]``), as the kernel contract requires.
     """
     dim_x = beacon.shape[-1]
-    pos = pts[:, :dim_x]
+    pos = pts[..., :dim_x]
     dist = jnp.sqrt(jnp.sum((pos - beacon) ** 2, axis=-1) + 1e-12)
     return (r - dist) ** 2 / (2.0 * sig_r_sq)
 

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from ..ops.blocktridiag import spd_inv
 from ..ops.psd import psd_sqrtm
 from ..ops.smallmat import chol_small
+from ..ops.precision import einsum
 
 
 def sigma_points(
@@ -45,7 +46,7 @@ def sigma_points(
     else:
         sqrt_p = psd_sqrtm(cov)  # symmetric
     # x = L xi per point: out[k,m,:] = L_k @ nodes[m]  (nodes @ L^T)
-    return jnp.einsum("md,ked->kme", nodes, sqrt_p) + mu[:, None, :]
+    return einsum("md,ked->kme", nodes, sqrt_p) + mu[:, None, :]
 
 
 def eval_phi(
@@ -95,7 +96,7 @@ def _sigma_diffs(nodes, cov, eval_dtype=None):
     sigma-offset tensor — the largest intermediate of the hot loop.
     """
     sqrt_p = chol_small(cov)
-    diff = jnp.einsum("md,ked->kme", nodes, sqrt_p)
+    diff = einsum("md,ked->kme", nodes, sqrt_p)
     if eval_dtype is not None:
         diff = diff.astype(eval_dtype).astype(cov.dtype)
     return diff
@@ -121,8 +122,8 @@ def gh_moments(
     phi = eval_phi(cost_fn, pts, params)          # [K,M]
     wphi = phi * weights[None, :]                 # [K,M]
     e_phi = jnp.sum(wphi, axis=-1)
-    e_xmu = jnp.einsum("km,kmd->kd", wphi, diff)
-    e_xxt = jnp.einsum("km,kmd,kme->kde", wphi, diff, diff)
+    e_xmu = einsum("km,kmd->kd", wphi, diff)
+    e_xxt = einsum("km,kmd,kme->kde", wphi, diff, diff)
     return e_phi, e_xmu, e_xxt
 
 
@@ -138,7 +139,7 @@ def expectation_phi(
     """E[phi] only (the line-search cost path needs no moments)."""
     diff = _sigma_diffs(nodes, cov, eval_dtype)
     phi = eval_phi(cost_fn, diff + mu[:, None, :], params)
-    return phi @ weights
+    return einsum("km,m->k", phi, weights)
 
 
 def ngd_local_gradients(
@@ -154,9 +155,9 @@ def ngd_local_gradients(
         Vddmu_k = (Prec_k E[(x-mu)(x-mu)^T phi] Prec_k - Prec_k E[phi]) / T
     """
     prec = spd_inv(cov)                                        # [K,d,d]
-    vdmu = jnp.einsum("kde,ke->kd", prec, e_xmu) / temperature
+    vdmu = einsum("kde,ke->kd", prec, e_xmu) / temperature
     vddmu = (
-        jnp.einsum("kab,kbc,kcd->kad", prec, e_xxt, prec)
+        einsum("kab,kbc,kcd->kad", prec, e_xxt, prec)
         - prec * e_phi[:, None, None]
     ) / temperature
     vddmu = 0.5 * (vddmu + jnp.swapaxes(vddmu, -1, -2))
@@ -175,9 +176,9 @@ def bw_local_gradients(
         S_k = Prec_k E[(x-mu)(x-mu)^T phi] Prec_k - Prec_k E[phi]
     """
     prec = spd_inv(cov)
-    b_k = jnp.einsum("kde,ke->kd", prec, e_xmu)
+    b_k = einsum("kde,ke->kd", prec, e_xmu)
     s_k = (
-        jnp.einsum("kab,kbc,kcd->kad", prec, e_xxt, prec)
+        einsum("kab,kbc,kcd->kad", prec, e_xxt, prec)
         - prec * e_phi[:, None, None]
     )
     s_k = 0.5 * (s_k + jnp.swapaxes(s_k, -1, -2))
@@ -204,16 +205,16 @@ def linear_local_gradients(
     so Vddmu = 2 A C / T exactly — no moments, no covariance dependence.
     (Verified against the loop in tests/test_linear_factors.py.)
     """
-    resid = jnp.einsum("krd,kd->kr", lam, mu) - jnp.einsum(
+    resid = einsum("krd,kd->kr", lam, mu) - einsum(
         "krt,kt->kr", psi, target_mu
     )
     vdmu = (
         2.0
-        * jnp.einsum("krd,krs,ks->kd", lam, target_prec, resid)
+        * einsum("krd,krs,ks->kd", lam, target_prec, resid)
         * constant[:, None]
         / temperature
     )
-    a = jnp.einsum("kra,krs,ksb->kab", lam, target_prec, lam)
+    a = einsum("kra,krs,ksb->kab", lam, target_prec, lam)
     vddmu = 2.0 * a * constant[:, None, None] / temperature
     return vdmu, vddmu
 
@@ -231,10 +232,10 @@ def linear_cost(
 
         (tr(Lam^T prec_t Lam Cov) + ||Lam mu - Psi mu_t||^2_{prec_t}) * C
     """
-    a = jnp.einsum("kra,krs,ksb->kab", lam, target_prec, lam)
-    tr_term = jnp.trace(jnp.einsum("kab,kbc->kac", a, cov), axis1=-2, axis2=-1)
-    resid = jnp.einsum("krd,kd->kr", lam, mu) - jnp.einsum(
+    a = einsum("kra,krs,ksb->kab", lam, target_prec, lam)
+    tr_term = jnp.trace(einsum("kab,kbc->kac", a, cov), axis1=-2, axis2=-1)
+    resid = einsum("krd,kd->kr", lam, mu) - einsum(
         "krt,kt->kr", psi, target_mu
     )
-    quad = jnp.einsum("kr,krs,ks->k", resid, target_prec, resid)
+    quad = einsum("kr,krs,ks->k", resid, target_prec, resid)
     return (tr_term + quad) * constant

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .base import LinearFactorBatch, detect_slice_offset
+from ..ops.precision import matmul
 
 
 def _as_batch(start, lam, psi, target_mu, target_prec, constant, nb, dtype):
@@ -194,11 +195,11 @@ def ltv_transition_and_gramian(
 
     def phi_rhs(t, phi):
         a, _ = lookup(t)
-        return a @ phi
+        return matmul(a, phi)
 
     def q_rhs(t, q):
         a, b = lookup(t)
-        return a @ q + q @ a.T + b @ b.T
+        return matmul(a, q) + matmul(q, a.T) + matmul(b, b.T)
 
     phi = _rk4_matrix(phi_rhs, np.eye(s), 0.0, delta_t, nsteps)
     q = _rk4_matrix(q_rhs, np.zeros((s, s)), 0.0, delta_t, nsteps)

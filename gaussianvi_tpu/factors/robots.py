@@ -18,6 +18,7 @@ import numpy as np
 from .base import NonlinearFactorBatch, detect_slice_offset
 from .sdf import PlanarSDF, SDF3D, hinge_obstacle_cost
 from ..quadrature import get_rule
+from ..ops.precision import einsum, matmul
 
 
 def planar_point_balls(pose: jnp.ndarray) -> jnp.ndarray:
@@ -79,7 +80,7 @@ class DHForwardKinematics:
         mats = jax.vmap(self._dh_matrix)(jnp.arange(j), theta + self.theta_bias)
 
         def step(t, m):
-            t_new = t @ m
+            t_new = matmul(t, m)
             return t_new, t_new
 
         _, ts = jax.lax.scan(step, jnp.eye(4, dtype=theta.dtype), mats)
@@ -92,7 +93,7 @@ class DHForwardKinematics:
         t_s = ts[self.frames]                       # [S, 4, 4]
         rot = t_s[:, :3, :3]
         pos = t_s[:, :3, 3]
-        return pos + jnp.einsum("sij,sj->si", rot, self.centers)
+        return pos + einsum("sij,sj->si", rot, self.centers)
 
 
 def make_planar_obstacle_factor(

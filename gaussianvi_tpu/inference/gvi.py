@@ -16,6 +16,7 @@ from ..ops.blocktridiag import BlockTridiag, gbp_covariance, spd_inv
 from ..ops.parallel_chain import gbp_covariance_logdet_assoc
 from ..ops.psd import sqrtm_product
 from .graph import FactorGraph, gather_marginals, scatter_gradients
+from ..ops.precision import einsum
 
 
 def factor_costs(
@@ -121,7 +122,7 @@ def _bw_jko_step(b_k, s_k, cov_k, step_size):
     d = cov_k.shape[-1]
     eye = jnp.eye(d, dtype=cov_k.dtype)
     m = eye[None] - step_size * s_k
-    sig_half = jnp.einsum("kab,kbc,kdc->kad", m, cov_k, m)
+    sig_half = einsum("kab,kbc,kdc->kad", m, cov_k, m)
     sig_new = (
         0.5 * sig_half
         + step_size * eye[None]
@@ -161,11 +162,11 @@ def prox_gradients(
         # path): b_k = Lam^T prec_t (Lam mu - Psi mu_t),
         # S_k = Lam^T prec_t Lam
         mu_k, cov_k = gather_marginals(lb.start, lb.nb, mu, cov_diag, cov_off, lb.slice_offset)
-        resid = jnp.einsum("krd,kd->kr", lb.lam, mu_k) - jnp.einsum(
+        resid = einsum("krd,kd->kr", lb.lam, mu_k) - einsum(
             "krt,kt->kr", lb.psi, lb.target_mu
         )
-        b_k = jnp.einsum("krd,krs,ks->kd", lb.lam, lb.target_prec, resid)
-        s_k = jnp.einsum("kra,krs,ksb->kab", lb.lam, lb.target_prec, lb.lam)
+        b_k = einsum("krd,krs,ks->kd", lb.lam, lb.target_prec, resid)
+        s_k = einsum("kra,krs,ksb->kab", lb.lam, lb.target_prec, lb.lam)
         vdmu, vddmu = _bw_jko_step(b_k, s_k, cov_k, step_size)
         dmu_joint, dprec_joint = scatter_gradients(
             lb.start, lb.nb, vdmu, vddmu, dmu_joint, dprec_joint,

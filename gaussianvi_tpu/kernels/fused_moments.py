@@ -52,22 +52,21 @@ def _moments_kernel(
     # as a broadcast-multiply reduce (d is tiny, so this is a VPU op — and
     # Mosaic has no mixed batched/unbatched dot_general to express it as a
     # batched matmul anyway), then a single cost evaluation over the
-    # flattened [TK*M, d] point block.  The previous TILE_K-times Python
-    # unroll emitted TILE_K copies of the cost function per tile, which
-    # blew the compile time up past practicality (round-1 VERDICT item 2).
+    # [TK, M, d] point block (kept 3-D: Mosaic cannot shape-cast away the
+    # short trailing d axis).  The previous TILE_K-times Python unroll
+    # emitted TILE_K copies of the cost function per tile, which blew the
+    # compile time up past practicality (round-1 VERDICT item 2).
     # diff[k, m, e] = sum_d nodes[m, d] * chol[k, e, d]
     diff = jnp.sum(
         nodes[None, :, None, :] * chol[:, None, :, :], axis=-1
     )                                            # [TK, M, d]
-    pts = (diff + mu[:, None, :]).reshape(tk * m, d)
+    pts = diff + mu[:, None, :]
 
     def rep(p):
-        # repeat each factor's param row across its M sigma points
-        return jnp.broadcast_to(
-            p[:, None], (tk, m) + p.shape[1:]
-        ).reshape((tk * m,) + p.shape[1:])
+        # broadcast each factor's param row across its M sigma points
+        return jnp.broadcast_to(p[:, None], (tk, m) + p.shape[1:])
 
-    phi = cost_fn(pts, *[rep(p) for p in params]).reshape(tk, m)
+    phi = cost_fn(pts, *[rep(p) for p in params])  # [TK, M]
     # reductions on the VPU in full f32: the MXU's internal bf16 passes
     # lose ~3 decimal digits on wphi's wide dynamic range (weights span
     # 1e-6..0.3 in high-degree rules)
@@ -91,13 +90,19 @@ def fused_moments(
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused (E[phi] [K], E[(x-mu)phi] [K,d], E[(x-mu)(x-mu)^T phi] [K,d,d]).
 
-    ``cost_fn(pts [B, d], *params_rows) -> [B]`` evaluates the factor cost on
-    a block of points; ``params`` is a tuple of arrays with leading K (each
-    repeated per point inside the kernel).
+    ``cost_fn(pts [..., d], *params_rows [..., p]) -> [...]`` evaluates the
+    factor cost batch-dim-agnostically (use ``pts[..., i]`` /
+    ``axis=-1`` reductions — inside the kernel the block is [TK, M, d]);
+    ``params`` is a tuple of arrays with leading K, broadcast per point
+    inside the kernel.
     """
     k, d = mu.shape
     m = nodes.shape[0]
-    chol = jnp.linalg.cholesky(cov)
+    # unrolled small-d factorization: exact f32 elementwise ops (and the
+    # same factor the XLA moments path places points with)
+    from ..ops.smallmat import chol_small
+
+    chol = chol_small(cov)
 
     # rank-1 blocks can only tile in multiples of 128; lift 1-D params to 2-D
     squeezed = tuple(p.ndim == 1 for p in params)
@@ -217,10 +222,16 @@ def fused_moments_vmappable(
 
 def make_batched_cost(cost_fn: Callable, params_struct: Any = None):
     """Adapt a per-point ``cost_fn(x [d], params)`` to the kernel's block
-    signature ``(pts [B, d], *param_rows [B, ...]) -> [B]`` via vmap."""
+    signature ``(pts [..., d], *param_rows [..., p]) -> [...]`` by vmapping
+    over every leading batch dim."""
+    def nest_vmap(f, ndim):
+        for _ in range(ndim - 1):
+            f = jax.vmap(f)
+        return f
+
     if params_struct is None:
         def batched(pts):
-            return jax.vmap(lambda x: cost_fn(x, None))(pts)
+            return nest_vmap(lambda x: cost_fn(x, None), pts.ndim)(pts)
         return batched
 
     def batched(pts, *params_rows):
@@ -228,6 +239,10 @@ def make_batched_cost(cost_fn: Callable, params_struct: Any = None):
             params = jax.tree.unflatten(params_struct, list(rows))
             return cost_fn(x, params)
 
-        return jax.vmap(one)(pts, *params_rows)
+        rows_b = tuple(
+            jnp.broadcast_to(r, pts.shape[:-1] + r.shape[pts.ndim - 1:])
+            for r in params_rows
+        )
+        return nest_vmap(one, pts.ndim)(pts, *rows_b)
 
     return batched

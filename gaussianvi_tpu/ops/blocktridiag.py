@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from .smallmat import chol_small, logdet_spd_small, spd_inv_small, spd_solve_small
+from .precision import einsum, matmul
 
 
 def _match_vma(x: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
@@ -139,10 +140,10 @@ class BlockTridiag:
         """y = A @ x for x flat [N*s] (or blocked [N, s])."""
         n, s = self.num_states, self.block_dim
         xb = x.reshape(n, s)
-        y = jnp.einsum("nij,nj->ni", self.diag, xb)
+        y = einsum("nij,nj->ni", self.diag, xb)
         if n > 1:
-            y = y.at[:-1].add(jnp.einsum("nij,nj->ni", self.off, xb[1:]))
-            y = y.at[1:].add(jnp.einsum("nji,nj->ni", self.off, xb[:-1]))
+            y = y.at[:-1].add(einsum("nij,nj->ni", self.off, xb[1:]))
+            y = y.at[1:].add(einsum("nji,nj->ni", self.off, xb[:-1]))
         return y.reshape(x.shape)
 
 
@@ -158,7 +159,7 @@ def block_cholesky(A: BlockTridiag) -> tuple[jnp.ndarray, jnp.ndarray]:
     def step(prev_pivot, inputs):
         off_prev, d = inputs
         gain = spd_solve(prev_pivot, off_prev)  # P^{-1} B
-        pivot = d - off_prev.T @ gain
+        pivot = d - matmul(off_prev.T, gain)
         return pivot, (pivot, gain)
 
     p0 = A.diag[0]
@@ -195,7 +196,7 @@ def solve(A: BlockTridiag, b: jnp.ndarray) -> jnp.ndarray:
     def fwd(carry, inputs):
         y_prev, p_prev = carry
         off_prev, b_i, p_i = inputs
-        y_i = b_i - off_prev.T @ spd_solve(p_prev, y_prev)
+        y_i = b_i - matmul(off_prev.T, spd_solve(p_prev, y_prev))
         return (y_i, p_i), y_i
 
     (_, _), ys_rest = lax.scan(fwd, (bb[0], pivots[0]), (A.off, bb[1:], pivots[1:]))
@@ -206,7 +207,7 @@ def solve(A: BlockTridiag, b: jnp.ndarray) -> jnp.ndarray:
 
     def bwd(x_next, inputs):
         y_i, p_i, gain_i = inputs
-        x_i = spd_solve(p_i, y_i) - gain_i @ x_next
+        x_i = spd_solve(p_i, y_i) - matmul(gain_i, x_next)
         return x_i, x_i
 
     _, xs_rest = lax.scan(
@@ -234,7 +235,7 @@ def gbp_covariance(A: BlockTridiag) -> tuple[jnp.ndarray, jnp.ndarray]:
 
     def fwd_step(m, inputs):
         d, b_off = inputs
-        m_next = -b_off.T @ spd_solve(d + m, b_off)
+        m_next = -matmul(b_off.T, spd_solve(d + m, b_off))
         return m_next, m
 
     zero = _match_vma(jnp.zeros((s, s), A.diag.dtype), A.diag)
@@ -244,7 +245,7 @@ def gbp_covariance(A: BlockTridiag) -> tuple[jnp.ndarray, jnp.ndarray]:
 
     def bwd_step(m, inputs):
         d, b_off = inputs
-        m_prev = -b_off @ spd_solve(d + m, b_off.T)
+        m_prev = -matmul(b_off, spd_solve(d + m, b_off.T))
         return m_prev, m
 
     b_last, b_tail = lax.scan(
@@ -288,7 +289,7 @@ def gbp_covariance_logdet(
 
     def fwd_step(m, inputs):
         d, b_off = inputs
-        m_next = -b_off.T @ spd_solve(d + m, b_off)
+        m_next = -matmul(b_off.T, spd_solve(d + m, b_off))
         return m_next, m
 
     zero = _match_vma(jnp.zeros((s, s), A.diag.dtype), A.diag)
@@ -300,7 +301,7 @@ def gbp_covariance_logdet(
 
     def bwd_step(m, inputs):
         d, b_off = inputs
-        m_prev = -b_off @ spd_solve(d + m, b_off.T)
+        m_prev = -matmul(b_off, spd_solve(d + m, b_off.T))
         return m_prev, m
 
     b_last, b_tail = lax.scan(bwd_step, zero, (A.diag[1:], A.off), reverse=True)

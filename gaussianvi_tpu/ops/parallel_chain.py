@@ -41,6 +41,7 @@ from jax import lax
 
 from .blocktridiag import BlockTridiag, spd_inv, spd_solve
 from .smallmat import logdet_spd_small
+from .precision import einsum, matmul
 
 
 def _compose_lft(a, b):
@@ -49,9 +50,9 @@ def _compose_lft(a, b):
     q_b, r_b, u_b = b
     s_inv_ub = spd_solve(r_b + q_a, u_b)             # S^{-1} U_b
     s_inv_uat = spd_solve(r_b + q_a, jnp.swapaxes(u_a, -1, -2))  # S^{-1} U_a^T
-    q = q_b - jnp.swapaxes(u_b, -1, -2) @ s_inv_ub
-    r = r_a - u_a @ s_inv_uat
-    u = u_a @ s_inv_ub
+    q = q_b - matmul(jnp.swapaxes(u_b, -1, -2), s_inv_ub)
+    r = r_a - matmul(u_a, s_inv_uat)
+    u = matmul(u_a, s_inv_ub)
     return (q, r, u)
 
 
@@ -70,7 +71,7 @@ def forward_pivots(A: BlockTridiag) -> jnp.ndarray:
     )
     q_c, r_c, u_c = lax.associative_scan(_compose_lft, elems)
     # prefix map evaluated at m_0 = 0: m_{i+1} = Q_i - U_i^T R_i^{-1} U_i
-    msgs = q_c - jnp.swapaxes(u_c, -1, -2) @ spd_solve(r_c, u_c)
+    msgs = q_c - matmul(jnp.swapaxes(u_c, -1, -2), spd_solve(r_c, u_c))
     return jnp.concatenate([A.diag[:1], A.diag[1:] + msgs], axis=0)
 
 
@@ -87,7 +88,7 @@ def backward_pivots(A: BlockTridiag) -> jnp.ndarray:
     )
     rev = tuple(e[::-1] for e in elems)
     q_c, r_c, u_c = lax.associative_scan(_compose_lft, rev)
-    msgs_rev = q_c - jnp.swapaxes(u_c, -1, -2) @ spd_solve(r_c, u_c)
+    msgs_rev = q_c - matmul(jnp.swapaxes(u_c, -1, -2), spd_solve(r_c, u_c))
     msgs = msgs_rev[::-1]
     return jnp.concatenate([A.diag[:-1] + msgs, A.diag[-1:]], axis=0)
 
@@ -130,7 +131,7 @@ def _compose_affine(a, b):
     """(b o a) for affine maps y -> M y + c; a applied first."""
     m_a, c_a = a
     m_b, c_b = b
-    return (m_b @ m_a, jnp.einsum("...ij,...j->...i", m_b, c_a) + c_b)
+    return (matmul(m_b, m_a), einsum("...ij,...j->...i", m_b, c_a) + c_b)
 
 
 def solve_assoc(A: BlockTridiag, b: jnp.ndarray) -> jnp.ndarray:
@@ -143,20 +144,20 @@ def solve_assoc(A: BlockTridiag, b: jnp.ndarray) -> jnp.ndarray:
         return spd_solve(f_piv[0], bb[0]).reshape(b.shape)
 
     # forward elimination: y_0 = b_0; y_i = b_i - B_{i-1}^T F_{i-1}^{-1} y_{i-1}
-    m_fwd = -jnp.swapaxes(A.off, -1, -2) @ spd_inv(f_piv[:-1])  # [n-1,s,s]
+    m_fwd = -matmul(jnp.swapaxes(A.off, -1, -2), spd_inv(f_piv[:-1]))  # [n-1,s,s]
     m_c, c_c = lax.associative_scan(_compose_affine, (m_fwd, bb[1:]))
     ys = jnp.concatenate(
-        [bb[:1], jnp.einsum("nij,j->ni", m_c, bb[0]) + c_c], axis=0
+        [bb[:1], einsum("nij,j->ni", m_c, bb[0]) + c_c], axis=0
     )
 
     # back substitution: x_{n-1} = F_{n-1}^{-1} y_{n-1};
     # x_i = F_i^{-1} (y_i - B_i x_{i+1})
     f_inv_y = spd_solve(f_piv, ys[:, :, None])[:, :, 0]
-    m_bwd = -spd_inv(f_piv[:-1]) @ A.off                        # [n-1,s,s]
+    m_bwd = -matmul(spd_inv(f_piv[:-1]), A.off)                        # [n-1,s,s]
     rev = (m_bwd[::-1], f_inv_y[:-1][::-1])
     m_c2, c_c2 = lax.associative_scan(_compose_affine, rev)
     x_last = f_inv_y[-1]
-    xs_rev = jnp.einsum("nij,j->ni", m_c2, x_last) + c_c2
+    xs_rev = einsum("nij,j->ni", m_c2, x_last) + c_c2
     xs = jnp.concatenate([xs_rev[::-1], x_last[None]], axis=0)
     return xs.reshape(b.shape)
 

@@ -12,19 +12,20 @@ SURVEY.md section 7.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from .precision import einsum
 
 
 def psd_sqrtm(mat: jnp.ndarray, clamp: float = 0.0) -> jnp.ndarray:
     """Symmetric square root of a symmetric PSD matrix (batched ok)."""
     w, v = jnp.linalg.eigh(mat)
     w = jnp.maximum(w, clamp)
-    return jnp.einsum("...ij,...j,...kj->...ik", v, jnp.sqrt(w), v)
+    return einsum("...ij,...j,...kj->...ik", v, jnp.sqrt(w), v)
 
 
 def psd_inv_sqrtm(mat: jnp.ndarray, eps: float = 1e-30) -> jnp.ndarray:
     w, v = jnp.linalg.eigh(mat)
     w = jnp.maximum(w, eps)
-    return jnp.einsum("...ij,...j,...kj->...ik", v, 1.0 / jnp.sqrt(w), v)
+    return einsum("...ij,...j,...kj->...ik", v, 1.0 / jnp.sqrt(w), v)
 
 
 def sqrtm_product(a: jnp.ndarray, s: float | jnp.ndarray) -> jnp.ndarray:
@@ -36,4 +37,4 @@ def sqrtm_product(a: jnp.ndarray, s: float | jnp.ndarray) -> jnp.ndarray:
     """
     w, v = jnp.linalg.eigh(a)
     vals = jnp.sqrt(jnp.maximum(w * (w + 4.0 * s), 0.0))
-    return jnp.einsum("...ij,...j,...kj->...ik", v, vals, v)
+    return einsum("...ij,...j,...kj->...ik", v, vals, v)

@@ -38,6 +38,7 @@ from jax import lax
 from ..ops.blocktridiag import spd_inv, spd_solve
 from ..ops.parallel_chain import _compose_affine, _compose_lft
 from ..ops.smallmat import logdet_spd_small
+from ..ops.precision import einsum, matmul
 
 
 def pad_off_for_seqpar(off: jnp.ndarray) -> jnp.ndarray:
@@ -48,7 +49,7 @@ def pad_off_for_seqpar(off: jnp.ndarray) -> jnp.ndarray:
 
 def _eval_lft(q, r, u, m):
     """Apply the map m -> Q - U^T (R + m)^{-1} U (batched over leading)."""
-    return q - jnp.swapaxes(u, -1, -2) @ spd_solve(r + m, u)
+    return q - matmul(jnp.swapaxes(u, -1, -2), spd_solve(r + m, u))
 
 
 def _vary(x, axis_name):
@@ -202,7 +203,7 @@ def solve_seqpar(diag_l, off_l, b_l, axis_name="sp"):
 
         def body(v, j):
             apply = (j < my) if before else (j > my)
-            v_new = jnp.einsum("ij,j->i", gathered_m[j], v) + gathered_c[j]
+            v_new = einsum("ij,j->i", gathered_m[j], v) + gathered_c[j]
             return jnp.where(apply, v_new, v), ()
 
         v, _ = lax.scan(body, _vary(v0, axis_name), idxs)
@@ -212,7 +213,7 @@ def solve_seqpar(diag_l, off_l, b_l, axis_name="sp"):
     # local affine elements for rows 1..Nl (element j maps y at local j to
     # y at local j+1; the element crossing into the next segment belongs to
     # THIS segment's summary)
-    m_elems = -jnp.swapaxes(off_l, -1, -2) @ spd_inv(f_piv)     # [Nl, s, s]
+    m_elems = -matmul(jnp.swapaxes(off_l, -1, -2), spd_inv(f_piv))     # [Nl, s, s]
     # c element for local row j is b at local row j+1; roll the rhs left
     # (the wrapped last element is globally padding)
     nbr_b0 = lax.ppermute(
@@ -227,12 +228,12 @@ def solve_seqpar(diag_l, off_l, b_l, axis_name="sp"):
     b0_global = lax.all_gather(b_l[0], axis_name)[0]
     y_first = fold_affine(gathered_m, gathered_c, True, b0_global)
     # y at local j (j >= 1) = local prefix_{j-1} applied to y_first
-    ys_tail = jnp.einsum("nij,j->ni", mc[:-1], y_first) + cc[:-1]
+    ys_tail = einsum("nij,j->ni", mc[:-1], y_first) + cc[:-1]
     ys = jnp.concatenate([y_first[None], ys_tail], axis=0)
 
     # ---- back substitution: x_i = F_i^{-1} y_i - F_i^{-1} B_i x_{i+1} ----
     f_inv_y = spd_solve(f_piv, ys[:, :, None])[:, :, 0]
-    m_b = -spd_inv(f_piv) @ off_l                               # [Nl, s, s]
+    m_b = -matmul(spd_inv(f_piv), off_l)                               # [Nl, s, s]
     # element at local j maps x_{j+1} -> x_j; compose right-to-left
     mc2, cc2 = lax.associative_scan(
         _compose_affine, (m_b[::-1], f_inv_y[::-1])
@@ -246,5 +247,5 @@ def solve_seqpar(diag_l, off_l, b_l, axis_name="sp"):
     # x_{N-1} exactly as it folds through the last segment
     x_right = fold_affine(gm2, gc2, False, jnp.zeros((s,), dtype))
     # inclusive reversed prefix R_k maps x_right to x at local Nl-1-k
-    xs_rev = jnp.einsum("nij,j->ni", mc2, x_right) + cc2
+    xs_rev = einsum("nij,j->ni", mc2, x_right) + cc2
     return xs_rev[::-1]

@@ -46,6 +46,7 @@ from ..inference.gvi import _bw_jko_step
 from ..inference.optimize import GVIHistory, concat_factor_costs, run_gvi
 from ..ops.blocktridiag import BlockTridiag
 from .chain_seqpar import gbp_covariance_logdet_seqpar, solve_seqpar
+from ..ops.precision import einsum
 
 
 def to_chain_layout(graph: FactorGraph) -> FactorGraph:
@@ -269,11 +270,11 @@ class TimeShardEngine:
             mk, ck = (mu_l, cov_diag) if lb.nb == 1 else (mu_e, cov_e)
             # closed-form BW grads (proxgd/ProxGVIFactorizedLinear.h
             # compute_BW_grads — note: no constant factor in the grads)
-            resid = jnp.einsum("krd,kd->kr", lb.lam, mk) - jnp.einsum(
+            resid = einsum("krd,kd->kr", lb.lam, mk) - einsum(
                 "krt,kt->kr", lb.psi, lb.target_mu
             )
-            b_k = jnp.einsum("krd,krs,ks->kd", lb.lam, lb.target_prec, resid)
-            s_k = jnp.einsum(
+            b_k = einsum("krd,krs,ks->kd", lb.lam, lb.target_prec, resid)
+            s_k = einsum(
                 "kra,krs,ksb->kab", lb.lam, lb.target_prec, lb.lam
             )
             vd, vdd = _bw_jko_step(b_k, s_k, ck, step_size)

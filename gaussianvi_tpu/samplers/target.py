@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..inference.graph import FactorGraph
+from ..ops.precision import einsum
 
 
 def _gather_local(x: jnp.ndarray, start: jnp.ndarray, nb: int) -> jnp.ndarray:
@@ -36,10 +37,10 @@ def neg_log_prob(graph: FactorGraph, x: jnp.ndarray) -> jnp.ndarray:
         total = total + jnp.sum(vals)
     for lb in graph.linear:
         x_k = _gather_local(x, lb.start, lb.nb)
-        resid = jnp.einsum("krd,kd->kr", lb.lam, x_k) - jnp.einsum(
+        resid = einsum("krd,kd->kr", lb.lam, x_k) - einsum(
             "krt,kt->kr", lb.psi, lb.target_mu
         )
-        quad = jnp.einsum("kr,krs,ks->k", resid, lb.target_prec, resid)
+        quad = einsum("kr,krs,ks->k", resid, lb.target_prec, resid)
         total = total + jnp.sum(quad * lb.constant)
     return total
 

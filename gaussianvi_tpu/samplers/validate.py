@@ -20,6 +20,7 @@ from ..ops.blocktridiag import gbp_covariance
 from .hmc import hmc
 from .nuts import nuts
 from .target import make_log_density
+from ..ops.precision import matmul
 
 
 class ValidationReport(NamedTuple):
@@ -35,7 +36,7 @@ def sampler_moments(samples: jnp.ndarray):
     """samples [T, D] -> (mean [D], cov [D, D])."""
     mean = jnp.mean(samples, axis=0)
     centered = samples - mean
-    cov = centered.T @ centered / (samples.shape[0] - 1)
+    cov = matmul(centered.T, centered) / (samples.shape[0] - 1)
     return mean, cov
 
 

@@ -33,7 +33,8 @@ def cost_point(x, params):
 
 
 def cost_block(pts, r):
-    return jnp.sum(pts**2, axis=-1) + jnp.sin(pts[:, 0]) * r
+    # batch-dim agnostic, per the kernel contract
+    return jnp.sum(pts**2, axis=-1) + jnp.sin(pts[..., 0]) * r
 
 
 class TestFusedMoments:
