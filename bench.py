@@ -11,6 +11,12 @@ dim 4 ([pos2; vel2]), minimum-acc GP priors + anchor + nonlinear range
 measurements, full NGD iterations including the backtracking line search.
 The TPU run uses the lanes Pallas chain kernel (the fast path).
 
+Operating point: B=64/N=32 is kept for round-over-round comparability;
+the measured throughput peak is B=256/N=32 at ~+3.5% (PERF.md section 4).
+The sandbox device shows two performance modes (~84k and ~55k iters/s for
+this exact program — PERF.md section 5); treat cross-round absolute
+comparisons accordingly.
+
 Timing notes for this sandbox: the remote TPU compile helper has a
 per-process session warmup of ~3-7 minutes; a tiny warmup compile is issued
 first so the real programs compile in seconds afterwards.  Everything runs
