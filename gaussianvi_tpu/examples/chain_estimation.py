@@ -42,6 +42,18 @@ def range_cost_block(pts, beacon, r, sig_r_sq):
     return (r - dist) ** 2 / (2.0 * sig_r_sq)
 
 
+def range_cost_lanes(x, beacon, r, sig_r_sq):
+    """Component form of :func:`range_cost` for the batch-on-lanes
+    quadrature kernel (kernels/quad_lanes.py): ``x`` is a tuple of d
+    broadcast-compatible component arrays, ``beacon`` has its per-factor
+    dim as the LEADING axis; params arrive as flattened dict leaves in key
+    order (beacon, r, sig_r_sq)."""
+    dim_x = beacon.shape[0]
+    d2 = sum((x[j] - beacon[j]) ** 2 for j in range(dim_x))
+    dist = jnp.sqrt(d2 + 1e-12)
+    return (r - dist) ** 2 / (2.0 * sig_r_sq)
+
+
 def simulate_trajectory(num_states, dim_x, dt, seed=0):
     """Ground-truth constant-velocity trajectory + noisy range measurements."""
     rng = np.random.default_rng(seed)
@@ -94,6 +106,7 @@ def build_chain_estimation(
         },
         gh_degree=gh_degree,
         block_cost=range_cost_block,
+        lanes_cost=range_cost_lanes,
         dtype=dtype,
     )
     graph = FactorGraph(

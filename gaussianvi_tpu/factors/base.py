@@ -48,6 +48,13 @@ class NonlinearFactorBatch:
     # the fused Pallas kernel path (kernels/fused_moments.py); must use only
     # Pallas-lowerable ops
     block_cost: Any = field(metadata=dict(static=True), default=None)
+    # optional component-form cost ``(x: tuple[d arrays], *param_leaves) ->
+    # array`` enabling the batch-on-lanes quadrature kernel
+    # (kernels/quad_lanes.py): ``x[i]`` are broadcast-compatible component
+    # arrays and each param leaf arrives with its per-factor shape as
+    # leading axes (leaf [K] -> scalar-like, [K, p] -> leading p) — index
+    # leading axes statically, rely on jnp broadcasting otherwise
+    lanes_cost: Any = field(metadata=dict(static=True), default=None)
     # when the supports are consecutive states (start == offset + arange(K)),
     # the joint gather/scatter lowers to static slices instead of XLA
     # gather/scatter ops (a large op-overhead win on TPU); None = general
@@ -71,6 +78,7 @@ def make_nonlinear_batch(
     gh_degree: int = 10,
     kind: str = "sparse",
     block_cost: Any = None,
+    lanes_cost: Any = None,
     dtype=None,
 ) -> NonlinearFactorBatch:
     """Build a NonlinearFactorBatch with a (dim, degree) quadrature rule."""
@@ -86,6 +94,7 @@ def make_nonlinear_batch(
         cost_fn=cost_fn,
         nb=nb,
         block_cost=block_cost,
+        lanes_cost=lanes_cost,
         slice_offset=detect_slice_offset(start_np),
     )
 

@@ -59,15 +59,47 @@ def eval_phi(
     return jax.vmap(per_factor, in_axes=(0, 0))(pts, params)
 
 
+def _lanes_eligible(fb, eval_dtype, with_moments: bool) -> bool:
+    """Static decision for the batch-on-lanes quadrature kernel: the batch
+    must carry a component-form cost, centered-quantization must be off
+    (the lanes kernel is full working precision), and the (K, d, M) shape
+    must fit the kernel's VMEM budget."""
+    if fb.lanes_cost is None or eval_dtype is not None:
+        return False
+    from ..kernels.quad_lanes import quad_fits_lanes
+
+    return quad_fits_lanes(
+        fb.start.shape[-1], fb.dim, fb.nodes.shape[-2], with_moments
+    )
+
+
+def batch_phi(fb, mu_k, cov_k, eval_dtype=None, quad_impl: str = "xla"):
+    """E[phi] for a NonlinearFactorBatch (the line-search cost path),
+    dispatching to the batch-on-lanes Pallas kernel when enabled and
+    eligible (see :mod:`gaussianvi_tpu.kernels.quad_lanes`)."""
+    if quad_impl == "lanes" and _lanes_eligible(fb, eval_dtype, False):
+        from ..kernels.quad_lanes import quad_lanes_vmappable
+
+        leaves = jax.tree.leaves(fb.params) if fb.params is not None else []
+        return quad_lanes_vmappable(
+            fb.nodes, fb.weights, mu_k, cov_k, fb.lanes_cost, tuple(leaves),
+        )
+    return expectation_phi(
+        fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params, eval_dtype
+    )
+
+
 def batch_moments(fb, mu_k, cov_k, use_pallas: bool = False,
-                  eval_dtype=None):
+                  eval_dtype=None, quad_impl: str = "xla"):
     """Moments for a NonlinearFactorBatch, dispatching to the fused Pallas
     kernel when the batch carries a block-form cost and the caller opted in
-    (GVIConfig.use_pallas).  ``eval_dtype`` applies to the XLA path only.
+    (GVIConfig.use_pallas), or to the batch-on-lanes kernel when
+    ``quad_impl='lanes'`` and the batch carries a component-form cost.
+    ``eval_dtype`` applies to the XLA path only.
 
-    Limitation: the Pallas path does not yet compose with an outer
-    ``jax.vmap`` over problems (pallas_call's batching rule emits
-    non-tileable block shapes); batched/sharded drivers use the XLA path.
+    Limitation: the block-form (use_pallas) kernel does not compose with an
+    outer ``jax.vmap`` over problems efficiently; the lanes kernel is built
+    for exactly that case (batch axes land on the 128 lanes).
     """
     if use_pallas and fb.block_cost is not None:
         from ..kernels.fused_moments import fused_moments_vmappable
@@ -76,6 +108,14 @@ def batch_moments(fb, mu_k, cov_k, use_pallas: bool = False,
         return fused_moments_vmappable(
             fb.nodes, fb.weights, mu_k, cov_k,
             cost_fn=fb.block_cost, params=tuple(leaves),
+        )
+    if quad_impl == "lanes" and _lanes_eligible(fb, eval_dtype, True):
+        from ..kernels.quad_lanes import quad_lanes_vmappable
+
+        leaves = jax.tree.leaves(fb.params) if fb.params is not None else []
+        return quad_lanes_vmappable(
+            fb.nodes, fb.weights, mu_k, cov_k, fb.lanes_cost, tuple(leaves),
+            with_moments=True,
         )
     return gh_moments(
         fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params, eval_dtype

@@ -45,6 +45,17 @@ class GVIConfig:
     # use the fused Pallas moments kernel for factor batches that provide a
     # block-form cost (NonlinearFactorBatch.block_cost)
     use_pallas: bool = False
+    # sigma-point quadrature backend for factor batches that provide a
+    # component-form cost (NonlinearFactorBatch.lanes_cost):
+    #   "xla"   — fused einsums (materializes the [B*K, M, d] sigma tensors)
+    #   "lanes" — Pallas batch-on-lanes kernel (kernels/quad_lanes.py): the
+    #             whole quadrature stays in VMEM; the TPU fast path for the
+    #             line-search cost re-evaluations
+    #   "auto"  — "lanes" whenever chain_impl is "lanes" (the TPU fast-path
+    #             bundle), else "xla"
+    # Batches without lanes_cost (or with moments_eval_dtype set) always
+    # take the XLA path.
+    quad_impl: str = "auto"
     # quantize the sigma-point OFFSETS (x - mu) to this dtype before
     # evaluating phi ("bfloat16" / "float16"; None = full precision) —
     # compresses the [K, M, d] sigma-offset tensor, the hot loop's largest

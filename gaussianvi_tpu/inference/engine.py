@@ -59,7 +59,8 @@ class LocalEngine:
     # mesh axes over which loop-carried scalars become varying (none here)
     carry_axes: tuple[str, ...] = ()
 
-    def __init__(self, graph: FactorGraph, config, use_pallas=None):
+    def __init__(self, graph: FactorGraph, config, use_pallas=None,
+                 quad_impl=None):
         from .optimize import _chain_ops
 
         self.graph = graph
@@ -67,6 +68,11 @@ class LocalEngine:
         self.use_pallas = (
             config.use_pallas if use_pallas is None else use_pallas
         )
+        if quad_impl is None:
+            quad_impl = config.quad_impl
+        if quad_impl == "auto":
+            quad_impl = "lanes" if config.chain_impl == "lanes" else "xla"
+        self.quad_impl = quad_impl
         self._cov_fn, self._solve_fn = _chain_ops(config, graph.num_states)
 
     # -- chain ---------------------------------------------------------------
@@ -85,9 +91,8 @@ class LocalEngine:
             mu_k, cov_k = gather_marginals(
                 fb.start, fb.nb, mu, cov_diag, cov_off, fb.slice_offset
             )
-            out.append(mm.expectation_phi(
-                fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params,
-                eval_dtype,
+            out.append(mm.batch_phi(
+                fb, mu_k, cov_k, eval_dtype, self.quad_impl
             ))
         for lb in g.linear:
             mu_k, cov_k = gather_marginals(
@@ -112,7 +117,7 @@ class LocalEngine:
 
         return ngd_gradients(
             self.graph, mu, cov_diag, cov_off, temperature,
-            self.use_pallas, eval_dtype,
+            self.use_pallas, eval_dtype, self.quad_impl,
         )
 
     def prox_gradients(self, mu, cov_diag, cov_off, step_size):

@@ -78,6 +78,7 @@ def ngd_gradients(
     temperature,
     use_pallas: bool = False,
     eval_dtype=None,
+    quad_impl: str = "xla",
 ) -> tuple[jnp.ndarray, BlockTridiag]:
     """Assemble joint (Vdmu [N,s], Vddmu block-tridiag).
 
@@ -90,7 +91,7 @@ def ngd_gradients(
     for fb in graph.nonlinear:
         mu_k, cov_k = gather_marginals(fb.start, fb.nb, mu, cov_diag, cov_off, fb.slice_offset)
         e_phi, e_xmu, e_xxt = mm.batch_moments(
-            fb, mu_k, cov_k, use_pallas, eval_dtype
+            fb, mu_k, cov_k, use_pallas, eval_dtype, quad_impl
         )
         vdmu, vddmu = mm.ngd_local_gradients(e_phi, e_xmu, e_xxt, cov_k, temperature)
         vdmu_joint, vddmu_joint = scatter_gradients(

@@ -107,6 +107,7 @@ def _graph_specs(graph: FactorGraph, batched: bool):
             cost_fn=fb.cost_fn,
             nb=fb.nb,
             block_cost=fb.block_cost,
+            lanes_cost=fb.lanes_cost,
             slice_offset=fb.slice_offset,
         )
 
@@ -164,7 +165,9 @@ class FactorShardEngine(LocalEngine):
     carry_axes = ("dp",)
 
     def __init__(self, graph: FactorGraph, config, axis: str = "fp"):
-        super().__init__(graph, config, use_pallas=False)
+        # XLA quadrature inside shard_map (the lanes kernel is a
+        # single-device fast path; Pallas under shard_map is unvalidated)
+        super().__init__(graph, config, use_pallas=False, quad_impl="xla")
         self.axis = axis
 
     def reduce_fc(self, fc_tuple):

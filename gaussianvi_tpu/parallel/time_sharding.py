@@ -312,7 +312,7 @@ def _chain_graph_specs(graph: FactorGraph) -> FactorGraph:
             params=jax.tree.map(lambda _: P("sp"), fb.params)
             if fb.params is not None else None,
             cost_fn=fb.cost_fn, nb=fb.nb, block_cost=fb.block_cost,
-            slice_offset=fb.slice_offset,
+            lanes_cost=fb.lanes_cost, slice_offset=fb.slice_offset,
         )
 
     def lin_spec(lb):

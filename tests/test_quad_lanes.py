@@ -1,0 +1,139 @@
+"""Batch-on-lanes quadrature kernel (kernels/quad_lanes.py).
+
+Validates the Pallas kernel (interpret mode on CPU) against the fused-XLA
+moments path, its vmap composition (problems x line-search trials flatten
+onto lanes), the engine dispatch, and end-to-end optimizer equivalence.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from dataclasses import replace
+
+from gaussianvi_tpu.examples.chain_estimation import (
+    build_chain_estimation,
+    range_cost_lanes,
+)
+from gaussianvi_tpu.factors import moments as mm
+from gaussianvi_tpu.inference.optimize import optimize
+from gaussianvi_tpu.kernels.quad_lanes import (
+    quad_fits_lanes,
+    quad_lanes,
+    quad_lanes_vmappable,
+)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    graph, init, config = build_chain_estimation(
+        num_states=8, dim_x=2, gh_degree=4, seed=0
+    )
+    fb = graph.nonlinear[0]
+    rng = np.random.default_rng(0)
+    b, k, d = 3, fb.start.shape[0], fb.dim
+    mu = jnp.asarray(rng.standard_normal((b, k, d)))
+    a = rng.standard_normal((b, k, d, d)) * 0.3
+    cov = jnp.asarray(a @ np.swapaxes(a, -1, -2) + 0.5 * np.eye(d))
+    leaves = tuple(jax.tree.leaves(fb.params))
+    return fb, mu, cov, leaves
+
+
+def _xla_moments(fb, mu, cov, leaves):
+    struct = jax.tree.structure(fb.params)
+    return jax.vmap(
+        lambda m, c, *ps: mm.gh_moments(
+            fb.nodes, fb.weights, m, c, fb.cost_fn,
+            jax.tree.unflatten(struct, list(ps)), None,
+        )
+    )(mu, cov, *[jnp.broadcast_to(p[None], (mu.shape[0],) + p.shape)
+                 for p in leaves])
+
+
+class TestKernel:
+    def test_matches_xla_moments(self, problem):
+        fb, mu, cov, leaves = problem
+        ref = _xla_moments(fb, mu, cov, leaves)
+        b = mu.shape[0]
+        leaves_b = tuple(
+            jnp.broadcast_to(p[None], (b,) + p.shape) for p in leaves
+        )
+        out = quad_lanes(
+            mu, cov, fb.nodes, fb.weights, range_cost_lanes, leaves_b,
+            with_moments=True,
+        )
+        for got, want in zip(out, ref):
+            np.testing.assert_allclose(got, want, atol=1e-10)
+
+    def test_phi_only(self, problem):
+        fb, mu, cov, leaves = problem
+        ref = _xla_moments(fb, mu, cov, leaves)[0]
+        b = mu.shape[0]
+        leaves_b = tuple(
+            jnp.broadcast_to(p[None], (b,) + p.shape) for p in leaves
+        )
+        phi = quad_lanes(
+            mu, cov, fb.nodes, fb.weights, range_cost_lanes, leaves_b
+        )
+        np.testing.assert_allclose(phi, ref, atol=1e-10)
+
+    def test_nested_vmap_flattens_onto_lanes(self, problem):
+        """problems x trials nesting — the line-search shape."""
+        fb, mu, cov, leaves = problem
+        ref = _xla_moments(fb, mu, cov, leaves)[0]
+        b, k, d = mu.shape
+        np_ax = (None,) * len(leaves)
+
+        def f(m, c, *ps):
+            return quad_lanes_vmappable(
+                fb.nodes, fb.weights, m, c, range_cost_lanes, tuple(ps)
+            )
+
+        nested = jax.vmap(
+            jax.vmap(f, in_axes=(0, 0) + np_ax), in_axes=(0, 0) + np_ax
+        )(mu.reshape(b, 1, k, d), cov.reshape(b, 1, k, d, d), *leaves)
+        np.testing.assert_allclose(nested.reshape(b, k), ref, atol=1e-10)
+
+    def test_vmem_budget_fallback(self):
+        # far past any plausible VMEM budget -> the static check says no
+        assert not quad_fits_lanes(4096, 8, 4097, True)
+        assert quad_fits_lanes(32, 4, 137, True)
+
+
+class TestDispatch:
+    def test_batch_phi_dispatch_matches(self, problem):
+        fb, mu, cov, leaves = problem
+        ref = _xla_moments(fb, mu, cov, leaves)[0]
+        got = jax.vmap(
+            lambda m, c: mm.batch_phi(fb, m, c, None, "lanes")
+        )(mu, cov)
+        np.testing.assert_allclose(got, ref, atol=1e-10)
+
+    def test_no_lanes_cost_falls_back(self, problem):
+        fb, mu, cov, leaves = problem
+        fb_plain = replace(fb, lanes_cost=None)
+        ref = _xla_moments(fb, mu, cov, leaves)[0]
+        got = jax.vmap(
+            lambda m, c: mm.batch_phi(fb_plain, m, c, None, "lanes")
+        )(mu, cov)
+        np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+class TestEndToEnd:
+    def test_optimize_matches_default_path(self):
+        graph, init, config = build_chain_estimation(
+            num_states=16, dim_x=2, gh_degree=4, seed=0
+        )
+        config = replace(config, niters=8)
+        ref_state, ref_hist = optimize(graph, init, config, method="ngd")
+        # the TPU fast-path bundle: lanes chain kernel + lanes quadrature
+        st, hist = optimize(
+            graph, init, replace(config, chain_impl="lanes"), method="ngd"
+        )
+        np.testing.assert_allclose(hist.cost, ref_hist.cost, atol=1e-8)
+        np.testing.assert_allclose(st.mu, ref_state.mu, atol=1e-10)
+        # lanes quadrature alone (seq chain)
+        st2, hist2 = optimize(
+            graph, init, replace(config, quad_impl="lanes"), method="ngd"
+        )
+        np.testing.assert_allclose(hist2.cost, ref_hist.cost, atol=1e-8)
