@@ -9,12 +9,16 @@ path (which the vectorized CPU-JAX run already upper-bounds).
 Workload: B independent trajectory-estimation problems, each N states of
 dim 4 ([pos2; vel2]), minimum-acc GP priors + anchor + nonlinear range
 measurements, full NGD iterations including the backtracking line search.
-The TPU run uses the lanes Pallas chain kernel (the fast path).
+The TPU run uses the lanes Pallas chain + quadrature kernels (the fast
+path; kernels/chain_lanes.py, kernels/quad_lanes.py).
 
-Operating point: B=64/N=32 is kept for round-over-round comparability;
-the measured throughput peak is B=256/N=32 at ~+3.5% (PERF.md section 4).
-The sandbox device shows two performance modes (~84k and ~55k iters/s for
-this exact program — PERF.md section 5); treat cross-round absolute
+Operating point: B=1024/N=32, the measured throughput peak after the
+batch-on-lanes quadrature kernel landed (B sweep: 70.5k / 74.1k / 77.2k /
+80.4k prob-iters/s at B=64/256/512/1024, slow device mode — the kernel
+removed the HBM working set that used to make B=1024 regress).  The
+legacy B=64 point (rounds 1-2 comparability) is also measured and printed
+to stderr.  The sandbox device shows two performance modes (~1.5x apart
+for the same program — PERF.md section 5); treat cross-round absolute
 comparisons accordingly.
 
 Timing notes for this sandbox: the remote TPU compile helper has a
@@ -99,8 +103,16 @@ def main():
     print(f"[bench] warmup {time.perf_counter() - t0:.0f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
-    rate_dev = bench_device(
+    rate_legacy = bench_device(
         device, chain_impl="lanes" if on_tpu else "auto"
+    )
+    print(f"[bench] legacy B=64 point: {rate_legacy:.0f} iters/s "
+          f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    rate_dev = bench_device(
+        device, num_problems=1024, pipeline=6,
+        chain_impl="lanes" if on_tpu else "auto",
     )
     print(f"[bench] device phase {time.perf_counter() - t0:.0f}s",
           file=sys.stderr)
@@ -116,7 +128,7 @@ def main():
         vs = 1.0
 
     print(json.dumps({
-        "metric": "ngd_iters_per_sec_batch64x32states",
+        "metric": "ngd_iters_per_sec_batch1024x32states",
         "value": round(rate_dev, 2),
         "unit": "iters/s",
         "vs_baseline": round(vs, 3),
