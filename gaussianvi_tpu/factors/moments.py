@@ -259,6 +259,43 @@ def linear_local_gradients(
     return vdmu, vddmu
 
 
+def linear_cost_chain(
+    lam: jnp.ndarray,
+    psi: jnp.ndarray,
+    target_mu: jnp.ndarray,
+    target_prec: jnp.ndarray,
+    constant: jnp.ndarray,
+    mu_i: jnp.ndarray,
+    mu_ip1: jnp.ndarray,
+    cd_i: jnp.ndarray,
+    cd_ip1: jnp.ndarray,
+    co_i: jnp.ndarray,
+) -> jnp.ndarray:
+    """Closed-form E[psi] for nb==2 (edge) linear factors computed from the
+    chain blocks directly — same value as :func:`linear_cost` on the
+    assembled edge marginal, WITHOUT materializing the [K, 2s, 2s]
+    edge-covariance tensor (at the line-search trial batch that tensor plus
+    the gathers behind it are pure HBM traffic).  With A = Lam^T prec_t Lam
+    partitioned into s x s blocks and Sigma_e symmetric:
+
+        tr(A Sigma_e) = sum(A11 . Sig_ii) + sum(A22 . Sig_i+1,i+1)
+                        + 2 sum(A12 . Sig_i,i+1)
+    """
+    s = cd_i.shape[-1]
+    a = einsum("kra,krs,ksb->kab", lam, target_prec, lam)
+    tr_term = (
+        jnp.sum(a[:, :s, :s] * cd_i, axis=(-2, -1))
+        + jnp.sum(a[:, s:, s:] * cd_ip1, axis=(-2, -1))
+        + 2.0 * jnp.sum(a[:, :s, s:] * co_i, axis=(-2, -1))
+    )
+    mu_k = jnp.concatenate([mu_i, mu_ip1], axis=-1)
+    resid = einsum("krd,kd->kr", lam, mu_k) - einsum(
+        "krt,kt->kr", psi, target_mu
+    )
+    quad = einsum("kr,krs,ks->k", resid, target_prec, resid)
+    return (tr_term + quad) * constant
+
+
 def linear_cost(
     lam: jnp.ndarray,
     psi: jnp.ndarray,

@@ -86,6 +86,30 @@ def gather_marginals(
     raise NotImplementedError(f"factor span nb={nb} not supported (use 1 or 2)")
 
 
+def gather_chain_edges(
+    start: jnp.ndarray,
+    mu: jnp.ndarray,
+    cov_diag: jnp.ndarray,
+    cov_off: jnp.ndarray,
+    slice_offset: int | None = None,
+) -> tuple[jnp.ndarray, ...]:
+    """Per-edge-factor chain pieces ``(mu_i, mu_ip1, cd_i, cd_ip1, co_i)``
+    for nb == 2 supports — the raw blocks :func:`gather_marginals` would
+    assemble into the [K, 2s, 2s] edge marginal, left unassembled for
+    consumers that can work blockwise (``moments.linear_cost_chain``)."""
+    k = start.shape[0]
+    if slice_offset is not None:
+        o = slice_offset
+
+        def idx(arr, shift=0):
+            return jax.lax.slice_in_dim(arr, o + shift, o + shift + k, axis=0)
+    else:
+        def idx(arr, shift=0):
+            return arr[start + shift] if shift else arr[start]
+
+    return idx(mu), idx(mu, 1), idx(cov_diag), idx(cov_diag, 1), idx(cov_off)
+
+
 def scatter_gradients(
     start: jnp.ndarray,
     nb: int,
