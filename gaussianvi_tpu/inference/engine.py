@@ -29,12 +29,7 @@ import jax.numpy as jnp
 
 from ..factors import moments as mm
 from ..ops.blocktridiag import BlockTridiag
-from .graph import (
-    FactorGraph,
-    gather_chain_edges,
-    gather_marginals,
-    scatter_gradients,
-)
+from .graph import FactorGraph, gather_marginals, scatter_gradients
 
 # A/B hook (scripts/linear_chain_ab.py): blockwise edge-factor costs vs the
 # assembled-marginal form.  Same value either way; blockwise skips the
@@ -105,21 +100,8 @@ class LocalEngine:
                 fb, mu_k, cov_k, eval_dtype, self.quad_impl
             ))
         for lb in g.linear:
-            if lb.nb == 2 and _LINEAR_CHAIN_COSTS:
-                out.append(mm.linear_cost_chain(
-                    lb.lam, lb.psi, lb.target_mu, lb.target_prec,
-                    lb.constant,
-                    *gather_chain_edges(
-                        lb.start, mu, cov_diag, cov_off, lb.slice_offset
-                    ),
-                ))
-                continue
-            mu_k, cov_k = gather_marginals(
-                lb.start, lb.nb, mu, cov_diag, cov_off, lb.slice_offset
-            )
-            out.append(mm.linear_cost(
-                lb.lam, lb.psi, lb.target_mu, lb.target_prec, lb.constant,
-                mu_k, cov_k,
+            out.append(mm.batch_linear_cost(
+                lb, mu, cov_diag, cov_off, _LINEAR_CHAIN_COSTS
             ))
         return tuple(out)
 

@@ -44,12 +44,8 @@ def factor_costs(
         )
         costs.append(e_phi / t)
     for lb in graph.linear:
-        mu_k, cov_k = gather_marginals(lb.start, lb.nb, mu, cov_diag, cov_off, lb.slice_offset)
         costs.append(
-            mm.linear_cost(
-                lb.lam, lb.psi, lb.target_mu, lb.target_prec, lb.constant,
-                mu_k, cov_k,
-            ) / t
+            mm.batch_linear_cost(lb, mu, cov_diag, cov_off) / t
         )
     if not costs:
         return jnp.zeros((0,), mu.dtype)
