@@ -16,6 +16,7 @@ from gaussianvi_tpu.examples.chain_estimation import (
     range_cost_lanes,
 )
 from gaussianvi_tpu.factors import moments as mm
+from gaussianvi_tpu.inference import GVIConfig
 from gaussianvi_tpu.inference.optimize import optimize
 from gaussianvi_tpu.kernels.quad_lanes import (
     quad_fits_lanes,
@@ -117,6 +118,38 @@ class TestDispatch:
             lambda m, c: mm.batch_phi(fb_plain, m, c, None, "lanes")
         )(mu, cov)
         np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+class TestBenchPath:
+    def test_vmapped_optimize_over_stacked_problems(self):
+        """The bench program shape: stacked problems, vmapped optimize,
+        lanes chain + lanes quadrature (interpret mode on CPU)."""
+        from gaussianvi_tpu.parallel.sharding import stack_problems
+
+        graphs, states = [], []
+        for seed in range(3):
+            g, s0, _ = build_chain_estimation(
+                num_states=8, dim_x=2, gh_degree=4, seed=seed
+            )
+            graphs.append(g)
+            states.append(s0)
+        graph_b, state_b = stack_problems(graphs, states)
+        config = GVIConfig(
+            niters=3, niters_lowtemp=3, step_size_base=0.9,
+            chain_impl="lanes",
+        )
+        run = jax.jit(jax.vmap(
+            lambda g, s: optimize(g, s, config, method="ngd")
+        ))
+        state_out, hist = run(graph_b, state_b)
+        for i, (g, s0) in enumerate(zip(graphs, states)):
+            ref_state, ref_hist = optimize(g, s0, config, method="ngd")
+            np.testing.assert_allclose(
+                hist.cost[i], ref_hist.cost, atol=1e-8
+            )
+            np.testing.assert_allclose(
+                state_out.mu[i], ref_state.mu, atol=1e-9
+            )
 
 
 class TestEndToEnd:
