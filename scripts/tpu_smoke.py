@@ -85,6 +85,35 @@ def main():
     if not ok:
         failures.append("lanes-kernel")
 
+    # 4. lanes quadrature kernel vs fused-XLA moments, compiled
+    from gaussianvi_tpu.factors import moments as mm
+    from gaussianvi_tpu.kernels.quad_lanes import quad_lanes
+
+    fb = graph.nonlinear[0]
+    k, d = fb.start.shape[0], fb.dim
+    b = 256
+    mu_q = jnp.asarray(rng.standard_normal((b, k, d)), jnp.float32)
+    a = rng.standard_normal((b, k, d, d)).astype("float32") * 0.3
+    cov_q = jnp.asarray(a @ a.transpose(0, 1, 3, 2)
+                        + 0.5 * np.eye(d, dtype="float32"))
+    leaves = tuple(
+        jnp.broadcast_to(p[None], (b,) + p.shape)
+        for p in jax.tree.leaves(fb.params)
+    )
+    struct = jax.tree.structure(fb.params)
+    q = jax.jit(lambda m, c, *ps: quad_lanes(
+        m, c, fb.nodes, fb.weights, fb.lanes_cost, ps, True))(
+        mu_q, cov_q, *leaves)
+    ref = jax.jit(jax.vmap(lambda m, c, *ps: mm.gh_moments(
+        fb.nodes, fb.weights, m, c, fb.cost_fn,
+        jax.tree.unflatten(struct, list(ps)))))(mu_q, cov_q, *leaves)
+    errs = [float(jnp.abs(x - y).max()) for x, y in zip(q, ref)]
+    ok = max(errs) < 1e-3
+    print(f"quad-lanes-vs-XLA moments err {max(errs):.2e} "
+          f"[{'OK' if ok else 'FAIL'}]")
+    if not ok:
+        failures.append("quad-lanes-kernel")
+
     if failures:
         print(f"FAILURES: {failures}")
         return 1
