@@ -124,7 +124,9 @@ class LocalEngine:
     def prox_gradients(self, mu, cov_diag, cov_off, step_size):
         from .gvi import prox_gradients
 
-        return prox_gradients(self.graph, mu, cov_diag, cov_off, step_size)
+        return prox_gradients(
+            self.graph, mu, cov_diag, cov_off, step_size, self.quad_impl
+        )
 
     # -- solve ---------------------------------------------------------------
     def solve_pair(self, bt_main: BlockTridiag, bt_fallback: BlockTridiag,

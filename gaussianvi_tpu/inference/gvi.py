@@ -136,6 +136,7 @@ def prox_gradients(
     cov_diag: jnp.ndarray,
     cov_off: jnp.ndarray,
     step_size,
+    quad_impl: str = "xla",
 ) -> tuple[jnp.ndarray, BlockTridiag]:
     """Per-factor Bures-Wasserstein JKO pseudo-gradients, summed into the
     joint (proxgd/ProxGVI-GH-impl.h:46-86)."""
@@ -144,8 +145,8 @@ def prox_gradients(
     dprec_joint = BlockTridiag.zeros(n, s_dim, mu.dtype)
     for fb in graph.nonlinear:
         mu_k, cov_k = gather_marginals(fb.start, fb.nb, mu, cov_diag, cov_off, fb.slice_offset)
-        e_phi, e_xmu, e_xxt = mm.gh_moments(
-            fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params
+        e_phi, e_xmu, e_xxt = mm.batch_moments(
+            fb, mu_k, cov_k, quad_impl=quad_impl
         )
         b_k, s_k = mm.bw_local_gradients(e_phi, e_xmu, e_xxt, cov_k)
         vdmu, vddmu = _bw_jko_step(b_k, s_k, cov_k, step_size)

@@ -170,3 +170,14 @@ class TestEndToEnd:
             graph, init, replace(config, quad_impl="lanes"), method="ngd"
         )
         np.testing.assert_allclose(hist2.cost, ref_hist.cost, atol=1e-8)
+
+    def test_prox_matches_default_path(self):
+        graph, init, config = build_chain_estimation(
+            num_states=12, dim_x=2, gh_degree=4, seed=1
+        )
+        config = replace(config, niters=5)
+        _, ref_hist = optimize(graph, init, config, method="prox")
+        _, hist = optimize(
+            graph, init, replace(config, chain_impl="lanes"), method="prox"
+        )
+        np.testing.assert_allclose(hist.cost, ref_hist.cost, atol=1e-8)
