@@ -59,17 +59,42 @@ def eval_phi(
     return jax.vmap(per_factor, in_axes=(0, 0))(pts, params)
 
 
+def _lanes_leaves(fb, mu_k):
+    """Param leaves for the lanes kernel: either the batch's flattened
+    params, or the output of its marginal-dependent ``lanes_prep`` (e.g.
+    SDF patches gathered around the trial marginal means)."""
+    if fb.lanes_prep is not None:
+        return tuple(fb.lanes_prep(mu_k))
+    return tuple(jax.tree.leaves(fb.params)) if fb.params is not None else ()
+
+
+def _lanes_param_elems(fb) -> int:
+    """Per-lane VMEM element count of the lanes param leaves (static)."""
+    import math
+
+    if fb.lanes_prep is not None:
+        k, d = fb.start.shape[-1], fb.dim
+        dtype = fb.nodes.dtype
+        out = jax.eval_shape(
+            fb.lanes_prep, jax.ShapeDtypeStruct((k, d), dtype)
+        )
+        return sum(math.prod(l.shape[1:]) for l in jax.tree.leaves(out))
+    leaves = jax.tree.leaves(fb.params) if fb.params is not None else []
+    return sum(math.prod(l.shape[1:]) for l in leaves)
+
+
 def _lanes_eligible(fb, eval_dtype, with_moments: bool) -> bool:
     """Static decision for the batch-on-lanes quadrature kernel: the batch
     must carry a component-form cost, centered-quantization must be off
-    (the lanes kernel is full working precision), and the (K, d, M) shape
-    must fit the kernel's VMEM budget."""
+    (the lanes kernel is full working precision), and the (K, d, M) shape —
+    including the param/patch leaves — must fit the kernel's VMEM budget."""
     if fb.lanes_cost is None or eval_dtype is not None:
         return False
     from ..kernels.quad_lanes import quad_fits_lanes
 
     return quad_fits_lanes(
-        fb.start.shape[-1], fb.dim, fb.nodes.shape[-2], with_moments
+        fb.start.shape[-1], fb.dim, fb.nodes.shape[-2], with_moments,
+        _lanes_param_elems(fb),
     )
 
 
@@ -80,9 +105,9 @@ def batch_phi(fb, mu_k, cov_k, eval_dtype=None, quad_impl: str = "xla"):
     if quad_impl == "lanes" and _lanes_eligible(fb, eval_dtype, False):
         from ..kernels.quad_lanes import quad_lanes_vmappable
 
-        leaves = jax.tree.leaves(fb.params) if fb.params is not None else []
         return quad_lanes_vmappable(
-            fb.nodes, fb.weights, mu_k, cov_k, fb.lanes_cost, tuple(leaves),
+            fb.nodes, fb.weights, mu_k, cov_k, fb.lanes_cost,
+            _lanes_leaves(fb, mu_k),
         )
     return expectation_phi(
         fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params, eval_dtype
@@ -112,10 +137,9 @@ def batch_moments(fb, mu_k, cov_k, use_pallas: bool = False,
     if quad_impl == "lanes" and _lanes_eligible(fb, eval_dtype, True):
         from ..kernels.quad_lanes import quad_lanes_vmappable
 
-        leaves = jax.tree.leaves(fb.params) if fb.params is not None else []
         return quad_lanes_vmappable(
-            fb.nodes, fb.weights, mu_k, cov_k, fb.lanes_cost, tuple(leaves),
-            with_moments=True,
+            fb.nodes, fb.weights, mu_k, cov_k, fb.lanes_cost,
+            _lanes_leaves(fb, mu_k), with_moments=True,
         )
     return gh_moments(
         fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params, eval_dtype
@@ -308,6 +332,10 @@ def linear_cost_chain(
     """
     s = cd_i.shape[-1]
     a = einsum("kra,krs,ksb->kab", lam, target_prec, lam)
+    # the 2*sum(A12 . Sig_i,i+1) folding below needs A symmetric; with Sig
+    # symmetric tr(A Sig) = tr(sym(A) Sig), so symmetrizing keeps this path
+    # equal to linear_cost even for an asymmetric target_prec
+    a = 0.5 * (a + jnp.swapaxes(a, -1, -2))
     tr_term = (
         jnp.sum(a[:, :s, :s] * cd_i, axis=(-2, -1))
         + jnp.sum(a[:, s:, s:] * cd_ip1, axis=(-2, -1))

@@ -29,8 +29,9 @@ class GVIConfig:
     # "assoc" (O(log N) depth associative scans; ~2.5x seq's cost on TPU at
     # these block sizes, kept for very long chains / future hardware),
     # "lanes" (Pallas whole-chain kernel, the TPU fast path; ~6x faster than
-    # seq at N=32 and flat in N), or "auto" (= seq; lanes needs an explicit
-    # opt-in because it interprets off-TPU)
+    # seq at N=32 and flat in N), or "auto" — "lanes" when running on TPU
+    # (the kernels fall back to scans for chains over their VMEM budget),
+    # else "seq" (lanes would interpret off-TPU)
     chain_impl: str = "auto"
     assoc_threshold: int = 1_000_000  # "auto" no longer switches to assoc
     # line-search evaluation strategy; both select the IDENTICAL iterate
@@ -51,11 +52,22 @@ class GVIConfig:
     #   "lanes" — Pallas batch-on-lanes kernel (kernels/quad_lanes.py): the
     #             whole quadrature stays in VMEM; the TPU fast path for the
     #             line-search cost re-evaluations
-    #   "auto"  — "lanes" whenever chain_impl is "lanes" (the TPU fast-path
-    #             bundle), else "xla"
+    #   "auto"  — "lanes" whenever the chain runs the lanes kernels (which
+    #             chain_impl="auto" selects on TPU), else "xla"
     # Batches without lanes_cost (or with moments_eval_dtype set) always
     # take the XLA path.
     quad_impl: str = "auto"
+    # fused line-search trial evaluation (kernels/fused_trials.py): ONE
+    # Pallas program runs chain + quadrature + linear costs for ALL trial
+    # steps, forming the trial iterates in-kernel — eliminates the
+    # trial-batch pack/unpack copies (measured 25% of the round-2
+    # iteration).  "auto" = on whenever the resolved chain/quad impls are
+    # lanes, linesearch is "batched", every nonlinear batch is
+    # lanes-eligible (nb == 1, lanes_cost, no eval_dtype), every linear
+    # batch spans nb <= 2, and the shape fits the kernel's VMEM budget;
+    # "off" forces the separate-kernel path (A/B hook); "on" asserts
+    # eligibility.
+    fused_trials: str = "auto"
     # quantize the sigma-point OFFSETS (x - mu) to this dtype before
     # evaluating phi ("bfloat16" / "float16"; None = full precision) —
     # compresses the [K, M, d] sigma-offset tensor, the hot loop's largest

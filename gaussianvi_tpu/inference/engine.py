@@ -66,7 +66,7 @@ class LocalEngine:
 
     def __init__(self, graph: FactorGraph, config, use_pallas=None,
                  quad_impl=None):
-        from .optimize import _chain_ops
+        from .optimize import _chain_ops, resolve_chain_impl
 
         self.graph = graph
         self.config = config
@@ -76,9 +76,107 @@ class LocalEngine:
         if quad_impl is None:
             quad_impl = config.quad_impl
         if quad_impl == "auto":
-            quad_impl = "lanes" if config.chain_impl == "lanes" else "xla"
+            # the TPU fast-path bundle: lanes quadrature whenever the chain
+            # runs the lanes kernels (i.e. by default on TPU); per-batch
+            # shape eligibility is still checked in moments._lanes_eligible
+            chain = resolve_chain_impl(config, graph.num_states)
+            quad_impl = "lanes" if chain == "lanes" else "xla"
         self.quad_impl = quad_impl
         self._cov_fn, self._solve_fn = _chain_ops(config, graph.num_states)
+        self._fused_trials = None
+        if config.fused_trials != "off" and quad_impl == "lanes":
+            self._fused_trials = self._build_fused_trials(config)
+        if config.fused_trials == "on" and self._fused_trials is None:
+            raise ValueError(
+                "fused_trials='on' but the graph/config is not eligible "
+                "(needs lanes quad, batched linesearch, lanes_cost on every "
+                "nonlinear batch, nb<=2 linear batches, no eval_dtype, and "
+                "a shape within the kernel's VMEM budget)"
+            )
+
+    def _build_fused_trials(self, config):
+        """Static eligibility + operand prep for the fused line-search trial
+        kernel (:mod:`..kernels.fused_trials`); None when ineligible."""
+        from ..kernels.fused_trials import (
+            LinTrialSpec,
+            NLTrialSpec,
+            linear_quadratic_form,
+            make_trial_costs_vmappable,
+            trials_fit_lanes,
+        )
+
+        g, cfg = self.graph, config
+        n, s = g.num_states, g.state_dim
+        if cfg.linesearch != "batched" or cfg.moments_eval_dtype:
+            return None
+        n_trials = cfg.niters_backtrack + 1
+        nl_specs, lin_specs, flat = [], [], []
+        for fb in g.nonlinear:
+            if fb.lanes_cost is None or fb.nb != 1:
+                return None
+            if fb.lanes_prep is not None:
+                # marginal-dependent params (SDF patches) can't be formed
+                # inside the fused kernel's in-kernel trial loop
+                return None
+            if fb.slice_offset is None and not fb.shared_start:
+                return None
+            leaves = (
+                tuple(jax.tree.leaves(fb.params))
+                if fb.params is not None else ()
+            )
+            nl_specs.append(NLTrialSpec(
+                fb.lanes_cost,
+                tuple(l.shape[1:] for l in leaves),
+                fb.start.shape[0],
+                fb.nodes.shape[0],
+                fb.slice_offset,
+            ))
+            if fb.slice_offset is None:
+                flat.append(fb.start)
+            flat += [fb.nodes, fb.weights, *leaves]
+        for lb in g.linear:
+            if lb.nb not in (1, 2):
+                return None
+            if lb.slice_offset is None and not lb.shared_start:
+                return None
+            rows = slice(0, 1) if lb.uniform else slice(None)
+            a, b, c = linear_quadratic_form(
+                lb.lam[rows], lb.psi[rows], lb.target_mu[rows],
+                lb.target_prec[rows], lb.constant[rows],
+            )
+            if lb.nb == 2:
+                a = jnp.stack(
+                    [a[:, :s, :s], a[:, s:, s:], a[:, :s, s:]], axis=1
+                )
+            else:
+                a = a[:, None]
+            lin_specs.append(LinTrialSpec(
+                lb.nb, lb.start.shape[0], a.shape[0], lb.slice_offset
+            ))
+            if lb.slice_offset is None:
+                flat.append(lb.start)
+            flat += [a, b, c]
+        nl_specs, lin_specs = tuple(nl_specs), tuple(lin_specs)
+        if not trials_fit_lanes(n, s, n_trials, nl_specs, lin_specs):
+            return None
+        self._fused_specs = (nl_specs, lin_specs)  # introspection/probing
+        fn = make_trial_costs_vmappable(n, s, n_trials, nl_specs, lin_specs)
+        return fn, tuple(flat)
+
+    @property
+    def fused_trials_ready(self) -> bool:
+        return self._fused_trials is not None
+
+    def fused_trial_costs(self, state, dmu, dprec, trials):
+        """All line-search trials in one kernel: returns
+        (ld [T], fc tuple of [T, K] per batch — nonlinear first, then
+        linear, the same order as :meth:`factor_costs_raw`)."""
+        fn, flat = self._fused_trials
+        ld, fc_nl, fc_lin = fn(
+            state.mu, dmu, state.precision.diag, state.precision.off,
+            dprec.diag, dprec.off, trials, *flat,
+        )
+        return ld, fc_nl + fc_lin
 
     # -- chain ---------------------------------------------------------------
     def cov_logdet(self, prec: BlockTridiag):

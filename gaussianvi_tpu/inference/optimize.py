@@ -44,20 +44,45 @@ from ..ops.blocktridiag import BlockTridiag, gbp_covariance_logdet, solve
 from ..ops.parallel_chain import gbp_covariance_logdet_assoc, solve_assoc
 
 
+def _target_platform() -> str:
+    """Platform the next jit will land on: honors a ``jax.default_device``
+    context (e.g. the bench's host-CPU baseline on a TPU-attached process)
+    before falling back to the process default backend."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", str(dev))
+    return jax.default_backend()
+
+
+def resolve_chain_impl(config, num_states: int) -> str:
+    """Static resolution of ``chain_impl='auto'``: the lanes Pallas kernels
+    on TPU (the measured fast path — ~6x seq at N=32; they carry their own
+    scan fallback for chains over the VMEM budget), seq scans elsewhere
+    (lanes would run in interpret mode off-TPU).
+
+    Resolution happens at TRACE time: reusing one traced function across
+    ``jax.default_device`` contexts with different platforms would keep the
+    first resolution (pin ``chain_impl`` explicitly in that case)."""
+    impl = config.chain_impl
+    if impl != "auto":
+        return impl
+    if _target_platform() == "tpu":
+        return "lanes"
+    return "assoc" if num_states >= config.assoc_threshold else "seq"
+
+
 def _chain_ops(config, num_states):
     # static choice of chain kernels: "seq" scans, "assoc" log-depth scans,
     # or the "lanes" Pallas kernel (batch-on-lanes; efficient under vmap)
-    if config.chain_impl == "lanes":
+    impl = resolve_chain_impl(config, num_states)
+    if impl == "lanes":
         from ..kernels.chain_lanes import (
             gbp_covariance_logdet_lanes_single,
             solve_lanes_single,
         )
 
         return gbp_covariance_logdet_lanes_single, solve_lanes_single
-    use_assoc = config.chain_impl == "assoc" or (
-        config.chain_impl == "auto" and num_states >= config.assoc_threshold
-    )
-    if use_assoc:
+    if impl == "assoc":
         return gbp_covariance_logdet_assoc, solve_assoc
     return gbp_covariance_logdet, solve
 from .config import GVIConfig
@@ -117,6 +142,13 @@ def run_gvi(
     eval_dtype = (
         jnp.dtype(config.moments_eval_dtype)
         if config.moments_eval_dtype and method == "ngd" else None
+    )
+    # fused line-search path: one Pallas program evaluates every trial
+    # (kernels/fused_trials.py); engine eligibility is static
+    use_fused = (
+        config.linesearch == "batched"
+        and eval_dtype is None
+        and getattr(engine, "fused_trials_ready", False)
     )
 
     def temper(fc_raw, temperature):
@@ -224,6 +256,24 @@ def run_gvi(
             (_, accepted, sel, c_sel, cd_sel, co_sel, ld_sel, fc_sel) = (
                 lax.while_loop(ls_cond, ls_body, init_ls)
             )
+        elif use_fused:
+            # every trial in ONE kernel; no covariance outputs (the accepted
+            # iterate's chain is recomputed once below)
+            trial_lds, trial_fcs = engine.fused_trial_costs(
+                state, dmu, dprec, trials
+            )
+            fc_t = temper(trial_fcs, temperature)
+            trial_costs = 0.5 * trial_lds + sum(
+                (jnp.sum(f, axis=-1) for f in fc_t),
+                jnp.zeros_like(trial_lds),
+            )
+            ok = trial_costs < cost_iter  # NaN costs compare False
+            accepted = jnp.any(ok)
+            sel = jnp.where(accepted, jnp.argmax(ok), n_trials - 1)
+            c_sel = trial_costs[sel]
+            ld_sel = trial_lds[sel]
+            fc_sel = jax.tree.map(lambda f: f[sel], trial_fcs)
+            cd_sel = co_sel = None
         elif config.linesearch == "batched":
             (trial_costs, trial_cds, trial_cos, trial_lds, trial_fcs) = (
                 jax.vmap(trial_cost)(trials)
@@ -305,6 +355,19 @@ def run_gvi(
             )
             new_fc_raw = engine.factor_costs_raw(
                 new_state.mu, new_cov_diag, new_cov_off, eval_dtype
+            )
+        elif use_fused:
+            # the fused kernel emits no covariance blocks; recompute the
+            # chain ONCE at the post-update state (width B, vs the T-wide
+            # trial batch).  When nothing was accepted this reproduces the
+            # carried blocks bitwise (same kernel, same precision input).
+            upd = jnp.logical_and(keep, take)
+            new_cov_diag, new_cov_off, _ = engine.cov_logdet(
+                new_state.precision
+            )
+            new_logdet = jnp.where(upd, ld_sel, logdet)
+            new_fc_raw = jax.tree.map(
+                lambda a, b: jnp.where(upd, a, b), fc_sel, fc_raw
             )
         else:
             # carry the accepted trial's covariance + factor expectations

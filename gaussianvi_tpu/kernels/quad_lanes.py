@@ -36,6 +36,7 @@ contract is testable outside Pallas.  Costs that need pts-last-axis form
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -58,9 +59,16 @@ _M_CHUNK = 8
 
 
 def _row_block_quad(k: int, s: int, m: int, with_moments: bool,
-                    batch: int) -> int:
-    """Rows of 128 lanes per grid step (0 = fall back to the XLA path)."""
+                    batch: int, param_elems: int = 0) -> int:
+    """Rows of 128 lanes per grid step (0 = fall back to the XLA path).
+    ``m`` is the raw node count; the budget is computed from the
+    chunk-PADDED count the kernel actually allocates.  ``param_elems`` is
+    the total per-lane element count of the param leaves (sum over leaves
+    of K * prod(leaf shape after K)) — negligible for scalar params, the
+    dominant term for SDF patches."""
+    m = m + (-m) % _M_CHUNK
     per_row = k * s * s * (3 if with_moments else 1) + (s + 1) * m
+    per_row += param_elems
     if per_row > _MAX_ROW_ELEMS_QUAD:
         return 0
     cap = min(8, _MAX_ROW_ELEMS_QUAD // per_row)
@@ -167,7 +175,8 @@ def quad_lanes(
         interpret = jax.default_backend() != "tpu"
     b, k, d = mu.shape
     m = nodes.shape[0]
-    rb = _row_block_quad(k, d, m, with_moments, b)
+    pelems = sum(math.prod(p.shape[1:]) for p in params)
+    rb = _row_block_quad(k, d, m, with_moments, b, pelems)
     if rb == 0:
         return None
     # pad the rule to the chunk size: replicated first node, ZERO weight
@@ -184,13 +193,17 @@ def quad_lanes(
         m += m_pad
     pad = (-b) % (LANE * rb)
     if pad:
-        mu = jnp.concatenate([mu, jnp.zeros((pad, k, d), mu.dtype)])
-        eye = jnp.broadcast_to(jnp.eye(d, dtype=cov.dtype), (pad, k, d, d))
-        cov = jnp.concatenate([cov, eye])
-        params = tuple(
-            jnp.concatenate([p, jnp.zeros((pad,) + p.shape[1:], p.dtype)])
-            for p in params
+        # replicate problem 0 into the padded lanes (mirroring the
+        # replicated-node/zero-weight rule padding): padded lanes then
+        # evaluate lanes_cost at a genuine finite point, so costs that are
+        # undefined at zero params (e.g. 1/sig_r_sq) stay finite even
+        # though the padded outputs are sliced off
+        rep = lambda x: jnp.concatenate(
+            [x, jnp.broadcast_to(x[0:1], (pad,) + x.shape[1:])]
         )
+        mu = rep(mu)
+        cov = rep(cov)
+        params = tuple(rep(p) for p in params)
     bp = b + pad
     grid = bp // (LANE * rb)
 
@@ -201,12 +214,15 @@ def quad_lanes(
     mu_l = lanes(mu)                               # [G, K, s, RB, 128]
     cov_l = lanes(cov)                             # [G, K, s, s, RB, 128]
     # node components and weights lanes-broadcast so every in-kernel op is
-    # a full-vreg elementwise op (HBM cost ~(d+1)*M*RB*128 floats: trivial)
+    # a full-vreg elementwise op.  The leading axis stays 1 with a
+    # grid-invariant index_map (every grid step fetches block 0), so ONE
+    # copy lives in HBM (~(d+1)*M*RB*128 floats) instead of one per grid
+    # step — the rule is batch-invariant data.
     nodes_b = jnp.broadcast_to(
-        nodes.T[None, :, :, None, None], (grid, d, m, rb, LANE)
+        nodes.T[None, :, :, None, None], (1, d, m, rb, LANE)
     ).astype(mu.dtype)
     w_b = jnp.broadcast_to(
-        weights[None, :, None, None], (grid, m, rb, LANE)
+        weights[None, :, None, None], (1, m, rb, LANE)
     ).astype(mu.dtype)
     param_l = tuple(lanes(p) for p in params)
     param_shapes = tuple(p.shape[2:] for p in params)
@@ -214,6 +230,11 @@ def quad_lanes(
     def spec(shape):
         nd = len(shape)
         return pl.BlockSpec((1,) + shape, lambda g, nd=nd: (g,) + (0,) * nd)
+
+    def spec0(shape):
+        """Grid-invariant input: the same block 0 on every step."""
+        nd = len(shape)
+        return pl.BlockSpec((1,) + shape, lambda g, nd=nd: (0,) * (nd + 1))
 
     out_shapes = [jax.ShapeDtypeStruct((grid, k, rb, LANE), mu.dtype)]
     out_specs = [spec((k, rb, LANE))]
@@ -233,8 +254,8 @@ def quad_lanes(
         in_specs=[
             spec((k, d, rb, LANE)),
             spec((k, d, d, rb, LANE)),
-            spec((d, m, rb, LANE)),
-            spec((m, rb, LANE)),
+            spec0((d, m, rb, LANE)),
+            spec0((m, rb, LANE)),
             *[spec((k,) + ps + (rb, LANE)) for ps in param_shapes],
         ],
         out_specs=out_specs,
@@ -311,8 +332,9 @@ def quad_lanes_vmappable(nodes, weights, mu, cov, lanes_cost, params=(),
     return jax.tree.map(lambda y: y[0], out)
 
 
-def quad_fits_lanes(k: int, d: int, m: int, with_moments: bool) -> bool:
+def quad_fits_lanes(k: int, d: int, m: int, with_moments: bool,
+                    param_elems: int = 0) -> bool:
     """Host-side static check that the lanes quadrature kernel can run this
     shape within its VMEM budget (vmap flattening never changes K/d/M, so
     the decision is stable under batching)."""
-    return _row_block_quad(k, d, m, with_moments, LANE) > 0
+    return _row_block_quad(k, d, m, with_moments, LANE, param_elems) > 0

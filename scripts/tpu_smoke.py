@@ -114,6 +114,44 @@ def main():
     if not ok:
         failures.append("quad-lanes-kernel")
 
+    # 5. end-to-end numerics gate: full 10-iteration NGD trajectory on the
+    # device (f32, the default fast path) vs the f64 HOST oracle.  The
+    # round-2 precision finding (DEFAULT matmul precision silently cost the
+    # Hessian moment two digits) is the class of bug this catches: a single
+    # kernel check passes while the composed trajectory drifts.  f32 accept
+    # decisions can flip at accept-boundary trials (PERF.md), so the gate
+    # compares the COST trajectory (the basin), not raw iterates.
+    from gaussianvi_tpu.inference.optimize import optimize as opt_fn
+
+    cfg10 = GVIConfig(niters=10, niters_lowtemp=10, step_size_base=0.9)
+    cpu = jax.devices("cpu")[0]
+    # f64 host oracle: x64 scoped to this block only (the device path must
+    # trace with 32-bit semantics — production mode, and Mosaic rejects
+    # mixed-width index arithmetic)
+    with jax.enable_x64(True), jax.default_device(cpu):
+        g64, s64, _ = build_chain_estimation(
+            num_states=32, dim_x=2, gh_degree=4, seed=0
+        )
+        _, hist64 = opt_fn(g64, s64, cfg10, method="ngd")
+        cost64 = np.asarray(hist64.cost, dtype=np.float64)
+    g32, s32, _ = build_chain_estimation(
+        num_states=32, dim_x=2, gh_degree=4, seed=0
+    )
+    t0 = time.perf_counter()
+    _, hist32 = opt_fn(g32, s32, cfg10, method="ngd")
+    sync(hist32.cost)
+    cost32 = np.asarray(hist32.cost, dtype=np.float64)
+    rel = np.abs(cost32 - cost64) / np.maximum(np.abs(cost64), 1e-12)
+    # committed tolerance: 1e-3 max relative cost error over 10 iterations
+    # (measured headroom ~50x at HIGHEST contraction precision; the DEFAULT-
+    # precision bug class lands at ~1e-2 and trips this)
+    ok = bool(np.isfinite(cost32).all() and rel.max() < 1e-3)
+    print(f"e2e 10-iter f32-vs-f64 gate: {time.perf_counter()-t0:.1f}s, "
+          f"max rel cost err {rel.max():.2e} (tol 1e-3) "
+          f"[{'OK' if ok else 'FAIL'}]")
+    if not ok:
+        failures.append("e2e-numerics-gate")
+
     if failures:
         print(f"FAILURES: {failures}")
         return 1

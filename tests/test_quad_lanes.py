@@ -102,6 +102,25 @@ class TestKernel:
 
 
 class TestDispatch:
+    def test_auto_resolves_to_lanes_on_tpu(self, monkeypatch, problem):
+        """chain_impl='auto' (the default) must select the lanes fast path
+        on TPU with no flags — and the engine's quad_impl='auto' must follow
+        it (VERDICT round-2 item: the fast path may not be opt-in)."""
+        from gaussianvi_tpu.inference.engine import LocalEngine
+        from gaussianvi_tpu.inference.graph import FactorGraph
+        from gaussianvi_tpu.inference.optimize import resolve_chain_impl
+
+        config = GVIConfig()
+        assert config.chain_impl == "auto" and config.quad_impl == "auto"
+        assert resolve_chain_impl(config, 32) == "seq"  # CPU backend here
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert resolve_chain_impl(config, 32) == "lanes"
+        graph, init, _ = build_chain_estimation(
+            num_states=8, dim_x=2, gh_degree=4, seed=0
+        )
+        engine = LocalEngine(graph, config)
+        assert engine.quad_impl == "lanes"
+
     def test_batch_phi_dispatch_matches(self, problem):
         fb, mu, cov, leaves = problem
         ref = _xla_moments(fb, mu, cov, leaves)[0]
