@@ -55,10 +55,22 @@ class NonlinearFactorBatch:
     # leading axes (leaf [K] -> scalar-like, [K, p] -> leading p) — index
     # leading axes statically, rely on jnp broadcasting otherwise
     lanes_cost: Any = field(metadata=dict(static=True), default=None)
+    # optional marginal-dependent parameter prep for lanes_cost:
+    # ``lanes_prep(mu_k [K, d]) -> tuple of leaves [K, ...]`` run in XLA
+    # (gathers allowed) before each lanes-kernel call — e.g. gathering a
+    # local SDF patch around each factor's trial marginal mean so the
+    # in-kernel lookup needs no dynamic gather.  When set, these leaves
+    # REPLACE the flattened ``params`` as lanes_cost's arguments.
+    lanes_prep: Any = field(metadata=dict(static=True), default=None)
     # when the supports are consecutive states (start == offset + arange(K)),
     # the joint gather/scatter lowers to static slices instead of XLA
     # gather/scatter ops (a large op-overhead win on TPU); None = general
     slice_offset: int | None = field(metadata=dict(static=True), default=None)
+    # the start indices are identical across any stacked problem batch
+    # (verified by parallel.sharding.stack_problems, which clears the flag
+    # when they differ) — required by kernels that hold ONE copy of the
+    # starts for all lanes (kernels/fused_trials.py)
+    shared_start: bool = field(metadata=dict(static=True), default=True)
 
     @property
     def num_factors(self) -> int:
@@ -135,6 +147,13 @@ class LinearFactorBatch:
     nb: int = field(metadata=dict(static=True), default=1)
     # see NonlinearFactorBatch.slice_offset
     slice_offset: int | None = field(metadata=dict(static=True), default=None)
+    # all K rows of (lam, psi, target_mu, target_prec, constant) are equal
+    # (detected at build time on concrete arrays, e.g. a constant-dt
+    # minimum-acc prior): consumers may compute per-factor constants from
+    # row 0 only — the fused trial kernel's small-VMEM linear path
+    uniform: bool = field(metadata=dict(static=True), default=False)
+    # see NonlinearFactorBatch.shared_start
+    shared_start: bool = field(metadata=dict(static=True), default=True)
 
     @property
     def num_factors(self) -> int:

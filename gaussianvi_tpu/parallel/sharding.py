@@ -64,19 +64,34 @@ def stack_problems(graphs: list[FactorGraph], states: list[GaussianState]):
 
 
 def _align_slice_offsets(graphs: list[FactorGraph]) -> list[FactorGraph]:
-    """slice_offset is static pytree metadata; problems whose factor
-    supports start at different states (e.g. anchors at different indices)
-    can't stack with it set — fall those batches back to the general
-    gather/scatter path (slice_offset=None) before stacking."""
+    """Align static metadata that depends on per-problem factor supports.
+
+    * ``slice_offset``: problems whose factor supports start at different
+      states (e.g. anchors at different indices) can't stack with it set —
+      fall those batches back to the general gather/scatter path.
+    * ``shared_start``: cleared when the concrete start indices differ
+      across problems, so lane-sharing consumers (the fused trial kernel)
+      exclude the batch.
+    * ``uniform``: conservatively AND'ed across problems.
+    """
     out = list(graphs)
     for attr in ("nonlinear", "linear"):
         groups = [getattr(g, attr) for g in out]
         for k in range(min(len(t) for t in groups) if groups else 0):
-            offs = {t[k].slice_offset for t in groups}
-            if len(offs) > 1:
+            batches = [t[k] for t in groups]
+            updates = {}
+            if len({fb.slice_offset for fb in batches}) > 1:
+                updates["slice_offset"] = None
+            starts = [np.asarray(fb.start) for fb in batches]
+            if any(not np.array_equal(starts[0], st) for st in starts[1:]):
+                updates["shared_start"] = False
+            uniforms = {getattr(fb, "uniform", None) for fb in batches}
+            if len(uniforms) > 1 and hasattr(batches[0], "uniform"):
+                updates["uniform"] = False
+            if updates:
                 out = [
                     replace(g, **{attr: tuple(
-                        replace(fb, slice_offset=None) if i == k else fb
+                        replace(fb, **updates) if i == k else fb
                         for i, fb in enumerate(getattr(g, attr))
                     )})
                     for g in out
@@ -98,29 +113,27 @@ def _graph_specs(graph: FactorGraph, batched: bool):
     axes sharded over fp, problem axis over dp, rules replicated."""
     dp = ("dp",) if batched else ()
 
+    # dataclasses.replace keeps ALL static metadata (nb, cost fns,
+    # slice_offset, uniform, shared_start, ...) so the spec prefix tree's
+    # treedef always matches the real graph's
     def nl_spec(fb):
-        return type(fb)(
+        return replace(
+            fb,
             start=P(*dp, "fp"),
             nodes=P(*dp),
             weights=P(*dp),
             params=jax.tree.map(lambda _: P(*dp, "fp"), fb.params),
-            cost_fn=fb.cost_fn,
-            nb=fb.nb,
-            block_cost=fb.block_cost,
-            lanes_cost=fb.lanes_cost,
-            slice_offset=fb.slice_offset,
         )
 
     def lin_spec(lb):
-        return type(lb)(
+        return replace(
+            lb,
             start=P(*dp),
             lam=P(*dp),
             psi=P(*dp),
             target_mu=P(*dp),
             target_prec=P(*dp),
             constant=P(*dp),
-            nb=lb.nb,
-            slice_offset=lb.slice_offset,
         )
 
     return FactorGraph(

@@ -306,20 +306,20 @@ class TimeShardEngine:
 
 
 def _chain_graph_specs(graph: FactorGraph) -> FactorGraph:
+    # dataclasses.replace keeps ALL static metadata (nb, cost fns,
+    # slice_offset, uniform, shared_start, ...) so the spec prefix tree's
+    # treedef always matches the real graph's
     def nl_spec(fb):
-        return type(fb)(
-            start=P("sp"), nodes=P(), weights=P(),
+        return replace(
+            fb, start=P("sp"), nodes=P(), weights=P(),
             params=jax.tree.map(lambda _: P("sp"), fb.params)
             if fb.params is not None else None,
-            cost_fn=fb.cost_fn, nb=fb.nb, block_cost=fb.block_cost,
-            lanes_cost=fb.lanes_cost, slice_offset=fb.slice_offset,
         )
 
     def lin_spec(lb):
-        return type(lb)(
-            start=P("sp"), lam=P("sp"), psi=P("sp"), target_mu=P("sp"),
-            target_prec=P("sp"), constant=P("sp"), nb=lb.nb,
-            slice_offset=lb.slice_offset,
+        return replace(
+            lb, start=P("sp"), lam=P("sp"), psi=P("sp"), target_mu=P("sp"),
+            target_prec=P("sp"), constant=P("sp"),
         )
 
     return FactorGraph(

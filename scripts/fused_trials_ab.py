@@ -1,0 +1,137 @@
+"""Same-process A/B: fused line-search trial kernel (kernels/fused_trials.py)
+vs the separate chain+quadrature kernels, plus a VMEM row-block probe.
+
+Round-2 traces put 25% of the NGD iteration in lanes pack/unpack copies,
+nearly all on the 11-trial line-search batch.  The fused kernel forms the
+trial iterates in-kernel from width-B inputs, so that traffic disappears;
+this script measures the end-to-end effect interleaved in one process
+(the sandbox device is bimodal, PERF.md section 5) and probes the kernel's
+VMEM budget by forcing row-block sizes.
+
+    python scripts/fused_trials_ab.py [B ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+
+def _sync(x):
+    return float(jnp.sum(jax.tree.leaves(x)[0]))
+
+
+def bench_pair(graph_b, state_b, n_problems, pipeline=24, rounds=3):
+    from dataclasses import replace
+
+    from gaussianvi_tpu.inference import GVIConfig
+    from gaussianvi_tpu.inference.optimize import optimize
+
+    base = GVIConfig(niters=10, niters_lowtemp=10, step_size_base=0.9,
+                     chain_impl="lanes")
+    runs = {}
+    for mode in ("off", "auto"):
+        config = replace(base, fused_trials=mode)
+        run = jax.jit(jax.vmap(
+            lambda g, s, c=config: optimize(g, s, c, method="ngd")[0]
+        ))
+        t0 = time.perf_counter()
+        checksum = _sync(run(graph_b, state_b))
+        print(f"  fused={mode}: compile+first {time.perf_counter() - t0:.0f}s"
+              f" checksum {checksum:.6f}", flush=True)
+        runs[mode] = run
+
+    mu_o = runs["off"](graph_b, state_b).mu
+    mu_f = runs["auto"](graph_b, state_b).mu
+    print(f"  final-mu max |off - fused| = "
+          f"{float(jnp.max(jnp.abs(mu_o - mu_f))):.3e}", flush=True)
+
+    best = {m: float("inf") for m in runs}
+    for _ in range(rounds):
+        for mode, run in runs.items():
+            t0 = time.perf_counter()
+            outs = [run(graph_b, state_b) for _ in range(pipeline)]
+            _sync(outs[-1])
+            best[mode] = min(best[mode], (time.perf_counter() - t0) / pipeline)
+    for mode, dt in best.items():
+        print(f"  fused={mode:4s} {n_problems * 10 / dt:10.1f} prob-iters/s "
+              f"({dt * 1e3:.2f} ms/call)", flush=True)
+    return best
+
+
+def probe_row_blocks(graph_b, state_b, n_problems):
+    """Force the fused kernel's row block via its VMEM-budget knob and time
+    each configuration that compiles — calibrates _MAX_ROW_ELEMS_TRIALS.
+    A fresh jit wrapper per setting forces a retrace (the budget is read at
+    trace time)."""
+    from gaussianvi_tpu.inference import GVIConfig
+    from gaussianvi_tpu.inference.engine import LocalEngine
+    from gaussianvi_tpu.inference.optimize import optimize
+    from gaussianvi_tpu.kernels import fused_trials as ft
+
+    base = GVIConfig(niters=10, niters_lowtemp=10, step_size_base=0.9,
+                     chain_impl="lanes")
+    g0 = jax.tree.map(lambda x: x[0], graph_b)
+    engine = LocalEngine(g0, base)
+    if not engine.fused_trials_ready:
+        print("  probe: fused path ineligible, skipping", flush=True)
+        return
+    nl_specs, lin_specs = engine._fused_specs
+    n, s = g0.num_states, g0.state_dim
+    per_row = ft.row_elems_trials(
+        n, s, base.niters_backtrack + 1, nl_specs, lin_specs
+    )
+    print(f"  probe: per_row={per_row} elems "
+          f"(default budget {ft._MAX_ROW_ELEMS_TRIALS} -> rb="
+          f"{ft._MAX_ROW_ELEMS_TRIALS // per_row})", flush=True)
+    orig = ft._MAX_ROW_ELEMS_TRIALS
+    try:
+        for rb in (1, 2, 4, 8):
+            ft._MAX_ROW_ELEMS_TRIALS = per_row * rb
+            run = jax.jit(jax.vmap(
+                lambda g, s_: optimize(g, s_, base, method="ngd")[0]
+            ))
+            try:
+                t0 = time.perf_counter()
+                _sync(run(graph_b, state_b))
+                dt0 = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                outs = [run(graph_b, state_b) for _ in range(12)]
+                _sync(outs[-1])
+                dt = (time.perf_counter() - t0) / 12
+                print(f"  rb<={rb}: compile+first {dt0:.0f}s, "
+                      f"{n_problems * 10 / dt:.1f} prob-iters/s", flush=True)
+            except Exception as exc:
+                print(f"  rb<={rb}: FAILED {type(exc).__name__}: "
+                      f"{str(exc)[:200]}", flush=True)
+    finally:
+        ft._MAX_ROW_ELEMS_TRIALS = orig
+
+
+def main():
+    from bench import build_batch
+
+    args = sys.argv[1:]
+    do_probe = "--probe" in args
+    sizes = [int(a) for a in args if not a.startswith("-")] or [64, 1024]
+    print("platform:", jax.devices()[0].platform, flush=True)
+    t0 = time.perf_counter()
+    _sync(jax.jit(lambda x: (x @ x).sum())(jnp.eye(128)))
+    print(f"warmup {time.perf_counter() - t0:.0f}s", flush=True)
+
+    for b in sizes:
+        print(f"B={b}:", flush=True)
+        graph_b, state_b = build_batch(b, 32, 2, 4)
+        if do_probe:
+            probe_row_blocks(graph_b, state_b, b)
+        bench_pair(graph_b, state_b, b, pipeline=24 if b <= 256 else 6)
+
+
+if __name__ == "__main__":
+    main()
