@@ -54,8 +54,12 @@ def build_planar_planning(
     epsilon: float = 0.4,
     radius: float = 0.2,
     gh_degree: int = 3,
+    patch_size: int | None = None,
     dtype=None,
 ):
+    """``patch_size``: opt-in lanes-quadrature fast path for the obstacle
+    factor (pre-gathered SDF windows; approximate once the marginal spread
+    exceeds the window — see factors.robots.make_patch_cost_2d)."""
     dtype = dtype or jnp.zeros(0).dtype
     dim_x, state_dim = 2, 4
     dt = total_time / (num_states - 1)
@@ -73,6 +77,7 @@ def build_planar_planning(
         radius=radius,
         balls_fn=planar_point_balls,
         gh_degree=gh_degree,
+        patch_size=patch_size,
         dtype=dtype,
     )
     anchors = []

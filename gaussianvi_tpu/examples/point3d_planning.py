@@ -56,6 +56,7 @@ def build_point3d_planning(
     epsilon: float = 0.4,
     radius: float = 0.2,
     gh_degree: int = 3,
+    patch_size: int | None = None,
     map_file=None,
     dtype=None,
 ):
@@ -64,6 +65,8 @@ def build_point3d_planning(
     ``map_file``: optional path — the generated SDF is saved there and
     loaded back, exercising the map IO path the reference uses
     (CudaOperation.h:617 reads maps/3dpR/pRSDF3D.bin).
+    ``patch_size``: opt-in lanes-quadrature fast path (approximate; see
+    factors.robots.make_patch_cost_3d).
     """
     dtype = dtype or jnp.zeros(0).dtype
     dim_x, state_dim = 3, 6
@@ -85,6 +88,7 @@ def build_point3d_planning(
         epsilon=epsilon,
         radius=radius,
         gh_degree=gh_degree,
+        patch_size=patch_size,
         dtype=dtype,
     )
     anchors = []

@@ -96,6 +96,77 @@ class DHForwardKinematics:
         return pos + einsum("sij,sj->si", rot, self.centers)
 
 
+def _hinge(sd, epsilon, radius, sigma, slope):
+    err = jnp.maximum(0.0, epsilon + radius - sd) * slope
+    return err * err * sigma
+
+
+def make_patch_prep_2d(sdf: PlanarSDF, patch: int):
+    """Marginal-dependent lanes param prep for a planar point-robot SDF
+    factor: gathers a ``patch x patch`` cell window of the field around
+    each factor's marginal-mean ball center (XLA dynamic_slice — gathers
+    are legal OUTSIDE the kernel), so the in-kernel lookup is pure
+    arithmetic.  Returns ``(patches [K, P, P], r0 [K], c0 [K])`` (window
+    origin in cell units)."""
+
+    def prep(mu_k):
+        rows, cols = sdf.data.shape
+        c = (mu_k[:, 0] - sdf.origin[0]) / sdf.cell_size
+        r = (mu_k[:, 1] - sdf.origin[1]) / sdf.cell_size
+        r0 = jnp.clip(
+            jnp.floor(r).astype(jnp.int32) - patch // 2 + 1, 0, rows - patch
+        )
+        c0 = jnp.clip(
+            jnp.floor(c).astype(jnp.int32) - patch // 2 + 1, 0, cols - patch
+        )
+        patches = jax.vmap(
+            lambda rr, cc: jax.lax.dynamic_slice(
+                sdf.data, (rr, cc), (patch, patch)
+            )
+        )(r0, c0)
+        return patches, r0.astype(mu_k.dtype), c0.astype(mu_k.dtype)
+
+    return prep
+
+
+def make_patch_cost_2d(sdf: PlanarSDF, patch: int, epsilon, radius, sigma,
+                       slope=1.0):
+    """Component-form (lanes) planar point-robot obstacle cost consuming
+    the pre-gathered patch: bilinear interpolation as a separable
+    hat-function sum ``sd = sum_ij relu(1-|r-i|) relu(1-|c-j|) patch[i,j]``
+    — exactly the 4-corner bilinear blend for in-window points, all
+    elementwise VPU ops (the per-lane dynamic gather Mosaic lacks is gone).
+    Points outside the window clamp to its edge (the window tracks the
+    marginal mean, so this only bites when the sigma-point spread exceeds
+    ``patch/2`` cells — pick ``patch`` from the expected marginal scale).
+
+    Reference analog: the device-side bilinear lookup of
+    helpers/CudaOperation.h:21-131 inside the batched cost kernels."""
+    # Python scalars (not captured arrays — Pallas kernels cannot close
+    # over array constants); factor builders run host-side on concrete SDFs
+    ox, oy = float(sdf.origin[0]), float(sdf.origin[1])
+    cell = float(sdf.cell_size)
+
+    def lanes_cost(x, patches, r0, c0):
+        c_rel = jnp.clip((x[0] - ox) / cell - c0, 0.0, patch - 1.0)
+        r_rel = jnp.clip((x[1] - oy) / cell - r0, 0.0, patch - 1.0)
+        wc = [
+            jnp.maximum(0.0, 1.0 - jnp.abs(c_rel - j)) for j in range(patch)
+        ]
+        sd = None
+        for i in range(patch):
+            row = None
+            for j in range(patch):
+                term = wc[j] * patches[i, j]
+                row = term if row is None else row + term
+            wr = jnp.maximum(0.0, 1.0 - jnp.abs(r_rel - i))
+            contrib = wr * row
+            sd = contrib if sd is None else sd + contrib
+        return _hinge(sd, epsilon, radius, sigma, slope)
+
+    return lanes_cost
+
+
 def make_planar_obstacle_factor(
     sdf: PlanarSDF,
     start_indices,
@@ -106,17 +177,29 @@ def make_planar_obstacle_factor(
     slope: float = 1.0,
     balls_fn=planar_point_balls,
     gh_degree: int = 3,
+    patch_size: int | None = None,
     dtype=None,
 ) -> NonlinearFactorBatch:
     """Per-state planar collision factor psi(x) = hinge(sd(balls(x)))
     (cost_obstacle_planar).  The SDF arrays are captured in the cost closure
-    and live in HBM once, shared by all factors."""
+    and live in HBM once, shared by all factors.
+
+    ``patch_size`` (point-robot ``balls_fn`` only): attach the
+    lanes-kernel fast path — pre-gathered SDF windows + in-kernel hat-sum
+    bilinear interpolation (:func:`make_patch_cost_2d`); None disables."""
 
     def cost_fn(x, params):
         del params
         balls = balls_fn(x)
         sd = sdf.signed_distance(balls)
         return hinge_obstacle_cost(sd, epsilon, radius, cost_sigma, slope)
+
+    lanes_cost = lanes_prep = None
+    if patch_size is not None and balls_fn is planar_point_balls:
+        lanes_prep = make_patch_prep_2d(sdf, patch_size)
+        lanes_cost = make_patch_cost_2d(
+            sdf, patch_size, epsilon, radius, cost_sigma, slope
+        )
 
     nodes, weights = get_rule(state_dim, gh_degree)
     dtype = dtype or jnp.zeros(0).dtype
@@ -129,7 +212,75 @@ def make_planar_obstacle_factor(
         params=None,
         cost_fn=cost_fn,
         nb=1,
+        lanes_cost=lanes_cost,
+        lanes_prep=lanes_prep,
     )
+
+
+def make_patch_prep_3d(sdf: SDF3D, patch: int):
+    """3-D analog of :func:`make_patch_prep_2d`: gathers a P^3 voxel window
+    around each factor's marginal-mean ball center.  Returns
+    ``(patches [K, P, P, P], z0 [K], r0 [K], c0 [K])``."""
+
+    def prep(mu_k):
+        nz, rows, cols = sdf.data.shape
+        c = (mu_k[:, 0] - sdf.origin[0]) / sdf.cell_size
+        r = (mu_k[:, 1] - sdf.origin[1]) / sdf.cell_size
+        z = (mu_k[:, 2] - sdf.origin[2]) / sdf.cell_size
+        h = patch // 2 - 1
+        z0 = jnp.clip(jnp.floor(z).astype(jnp.int32) - h, 0, nz - patch)
+        r0 = jnp.clip(jnp.floor(r).astype(jnp.int32) - h, 0, rows - patch)
+        c0 = jnp.clip(jnp.floor(c).astype(jnp.int32) - h, 0, cols - patch)
+        patches = jax.vmap(
+            lambda zz, rr, cc: jax.lax.dynamic_slice(
+                sdf.data, (zz, rr, cc), (patch, patch, patch)
+            )
+        )(z0, r0, c0)
+        return (
+            patches, z0.astype(mu_k.dtype), r0.astype(mu_k.dtype),
+            c0.astype(mu_k.dtype),
+        )
+
+    return prep
+
+
+def make_patch_cost_3d(sdf: SDF3D, patch: int, epsilon, radius, sigma,
+                       slope=1.0):
+    """Component-form (lanes) 3-D point-robot obstacle cost: trilinear
+    interpolation as a separable hat-function sum over the pre-gathered
+    P^3 window (see :func:`make_patch_cost_2d` for the contract and the
+    window-edge clamping caveat)."""
+    ox, oy, oz = (
+        float(sdf.origin[0]), float(sdf.origin[1]), float(sdf.origin[2])
+    )
+    cell = float(sdf.cell_size)
+
+    def lanes_cost(x, patches, z0, r0, c0):
+        c_rel = jnp.clip((x[0] - ox) / cell - c0, 0.0, patch - 1.0)
+        r_rel = jnp.clip((x[1] - oy) / cell - r0, 0.0, patch - 1.0)
+        z_rel = jnp.clip((x[2] - oz) / cell - z0, 0.0, patch - 1.0)
+        wc = [
+            jnp.maximum(0.0, 1.0 - jnp.abs(c_rel - j)) for j in range(patch)
+        ]
+        wr = [
+            jnp.maximum(0.0, 1.0 - jnp.abs(r_rel - i)) for i in range(patch)
+        ]
+        sd = None
+        for kz in range(patch):
+            plane = None
+            for i in range(patch):
+                row = None
+                for j in range(patch):
+                    term = wc[j] * patches[kz, i, j]
+                    row = term if row is None else row + term
+                t = wr[i] * row
+                plane = t if plane is None else plane + t
+            wz = jnp.maximum(0.0, 1.0 - jnp.abs(z_rel - kz))
+            contrib = wz * plane
+            sd = contrib if sd is None else sd + contrib
+        return _hinge(sd, epsilon, radius, sigma, slope)
+
+    return lanes_cost
 
 
 def make_point3d_obstacle_factor(
@@ -141,17 +292,28 @@ def make_point3d_obstacle_factor(
     radius: float = 1.0,
     slope: float = 1.0,
     gh_degree: int = 3,
+    patch_size: int | None = None,
     dtype=None,
 ) -> NonlinearFactorBatch:
     """3-D point-robot collision factor: one ball at (x, y, z) -> trilinear
     SDF lookup -> hinge loss (CudaOperation_3dpR::cost_obstacle_planar +
-    vec_balls, helpers/CudaOperation.h:612-680; state = [pos3; vel3])."""
+    vec_balls, helpers/CudaOperation.h:612-680; state = [pos3; vel3]).
+
+    ``patch_size``: lanes fast path via P^3 pre-gathered windows (None
+    disables; the P^3 VMEM footprint makes small windows the default)."""
 
     def cost_fn(x, params):
         del params
         balls = point3d_balls(x)
         sd = sdf.signed_distance(balls)
         return hinge_obstacle_cost(sd, epsilon, radius, cost_sigma, slope)
+
+    lanes_cost = lanes_prep = None
+    if patch_size is not None:
+        lanes_prep = make_patch_prep_3d(sdf, patch_size)
+        lanes_cost = make_patch_cost_3d(
+            sdf, patch_size, epsilon, radius, cost_sigma, slope
+        )
 
     nodes, weights = get_rule(state_dim, gh_degree)
     dtype = dtype or jnp.zeros(0).dtype
@@ -164,6 +326,8 @@ def make_point3d_obstacle_factor(
         params=None,
         cost_fn=cost_fn,
         nb=1,
+        lanes_cost=lanes_cost,
+        lanes_prep=lanes_prep,
     )
 
 
