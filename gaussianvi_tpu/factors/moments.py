@@ -85,10 +85,15 @@ def _lanes_param_elems(fb) -> int:
 
 def _lanes_eligible(fb, eval_dtype, with_moments: bool) -> bool:
     """Static decision for the batch-on-lanes quadrature kernel: the batch
-    must carry a component-form cost, centered-quantization must be off
-    (the lanes kernel is full working precision), and the (K, d, M) shape —
-    including the param/patch leaves — must fit the kernel's VMEM budget."""
-    if fb.lanes_cost is None or eval_dtype is not None:
+    must carry a component-form cost, the (K, d, M) shape — including the
+    param/patch leaves — must fit the kernel's VMEM budget, and any
+    centered-quantization dtype must be bfloat16 (quantized in-kernel;
+    float16 has no native TPU cast and keeps the XLA path)."""
+    if fb.lanes_cost is None:
+        return False
+    if eval_dtype is not None and jnp.dtype(eval_dtype) != jnp.dtype(
+        jnp.bfloat16
+    ):
         return False
     from ..kernels.quad_lanes import quad_fits_lanes
 
@@ -107,7 +112,7 @@ def batch_phi(fb, mu_k, cov_k, eval_dtype=None, quad_impl: str = "xla"):
 
         return quad_lanes_vmappable(
             fb.nodes, fb.weights, mu_k, cov_k, fb.lanes_cost,
-            _lanes_leaves(fb, mu_k),
+            _lanes_leaves(fb, mu_k), eval_dtype=eval_dtype,
         )
     return expectation_phi(
         fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params, eval_dtype
@@ -120,7 +125,8 @@ def batch_moments(fb, mu_k, cov_k, use_pallas: bool = False,
     kernel when the batch carries a block-form cost and the caller opted in
     (GVIConfig.use_pallas), or to the batch-on-lanes kernel when
     ``quad_impl='lanes'`` and the batch carries a component-form cost.
-    ``eval_dtype`` applies to the XLA path only.
+    ``eval_dtype='bfloat16'`` composes with the lanes kernel (offsets
+    quantized in-kernel); float16 forces the XLA path.
 
     Limitation: the block-form (use_pallas) kernel does not compose with an
     outer ``jax.vmap`` over problems efficiently; the lanes kernel is built
@@ -140,6 +146,7 @@ def batch_moments(fb, mu_k, cov_k, use_pallas: bool = False,
         return quad_lanes_vmappable(
             fb.nodes, fb.weights, mu_k, cov_k, fb.lanes_cost,
             _lanes_leaves(fb, mu_k), with_moments=True,
+            eval_dtype=eval_dtype,
         )
     return gh_moments(
         fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params, eval_dtype

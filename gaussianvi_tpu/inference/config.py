@@ -54,8 +54,9 @@ class GVIConfig:
     #             line-search cost re-evaluations
     #   "auto"  — "lanes" whenever the chain runs the lanes kernels (which
     #             chain_impl="auto" selects on TPU), else "xla"
-    # Batches without lanes_cost (or with moments_eval_dtype set) always
-    # take the XLA path.
+    # Batches without lanes_cost always take the XLA path;
+    # moments_eval_dtype="bfloat16" composes with lanes (offsets quantized
+    # in-kernel), "float16" forces the XLA path.
     quad_impl: str = "auto"
     # fused line-search trial evaluation (kernels/fused_trials.py): ONE
     # Pallas program runs chain + quadrature + linear costs for ALL trial
@@ -63,8 +64,9 @@ class GVIConfig:
     # trial-batch pack/unpack copies (measured 25% of the round-2
     # iteration).  "auto" = on whenever the resolved chain/quad impls are
     # lanes, linesearch is "batched", every nonlinear batch is
-    # lanes-eligible (nb == 1, lanes_cost, no eval_dtype), every linear
-    # batch spans nb <= 2, and the shape fits the kernel's VMEM budget;
+    # lanes-eligible (nb == 1, lanes_cost, eval_dtype None or bfloat16),
+    # every linear batch spans nb <= 2, and the shape fits the kernel's
+    # VMEM budget;
     # "off" forces the separate-kernel path (A/B hook); "on" asserts
     # eligibility.
     fused_trials: str = "auto"
@@ -77,4 +79,15 @@ class GVIConfig:
     # evaluation (measured envelope on residual costs: bf16 < 3e-3, fp16
     # < 1e-4 relative E[phi] error — tests/test_chain_estimation.py).
     # NGD path only (prox stays full precision).
+    #
+    # Interaction with the lanes kernels (the TPU fast path): "bfloat16"
+    # COMPOSES — the offsets are quantized inside the quad/fused-trial
+    # kernels, so the fast path is kept.  Note the compression benefit is an
+    # XLA-path property (the [K, M, d] offset tensor lives in HBM there);
+    # inside the lanes kernels offsets never leave VMEM, so with lanes
+    # active the setting buys no memory and costs two casts — prefer None
+    # unless you need numerics consistent with an XLA-path run or the shape
+    # overflows the lanes VMEM budget (where the XLA fallback then benefits
+    # from the compression).  "float16" has no native TPU cast and forces
+    # the XLA quadrature path.
     moments_eval_dtype: str | None = None

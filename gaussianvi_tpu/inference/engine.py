@@ -63,6 +63,9 @@ class LocalEngine:
 
     # mesh axes over which loop-carried scalars become varying (none here)
     carry_axes: tuple[str, ...] = ()
+    # the eval_dtype the fused trial kernel was built with (run_gvi only
+    # takes the fused path when its eval_dtype matches)
+    fused_eval_dtype = None
 
     def __init__(self, graph: FactorGraph, config, use_pallas=None,
                  quad_impl=None):
@@ -90,7 +93,8 @@ class LocalEngine:
             raise ValueError(
                 "fused_trials='on' but the graph/config is not eligible "
                 "(needs lanes quad, batched linesearch, lanes_cost on every "
-                "nonlinear batch, nb<=2 linear batches, no eval_dtype, and "
+                "nonlinear batch, nb<=2 linear batches, eval_dtype None or "
+                "bfloat16, and "
                 "a shape within the kernel's VMEM budget)"
             )
 
@@ -107,7 +111,17 @@ class LocalEngine:
 
         g, cfg = self.graph, config
         n, s = g.num_states, g.state_dim
-        if cfg.linesearch != "batched" or cfg.moments_eval_dtype:
+        if cfg.linesearch != "batched":
+            return None
+        # centered bf16 offset quantization composes (quantized in-kernel);
+        # fp16 has no native TPU cast and keeps the separate-kernel path
+        self.fused_eval_dtype = (
+            jnp.dtype(cfg.moments_eval_dtype)
+            if cfg.moments_eval_dtype else None
+        )
+        if self.fused_eval_dtype is not None and (
+            self.fused_eval_dtype != jnp.dtype(jnp.bfloat16)
+        ):
             return None
         n_trials = cfg.niters_backtrack + 1
         nl_specs, lin_specs, flat = [], [], []
@@ -160,7 +174,10 @@ class LocalEngine:
         if not trials_fit_lanes(n, s, n_trials, nl_specs, lin_specs):
             return None
         self._fused_specs = (nl_specs, lin_specs)  # introspection/probing
-        fn = make_trial_costs_vmappable(n, s, n_trials, nl_specs, lin_specs)
+        fn = make_trial_costs_vmappable(
+            n, s, n_trials, nl_specs, lin_specs,
+            eval_dtype=self.fused_eval_dtype,
+        )
         return fn, tuple(flat)
 
     @property

@@ -144,11 +144,13 @@ def run_gvi(
         if config.moments_eval_dtype and method == "ngd" else None
     )
     # fused line-search path: one Pallas program evaluates every trial
-    # (kernels/fused_trials.py); engine eligibility is static
+    # (kernels/fused_trials.py); engine eligibility is static.  The kernel
+    # bakes in the engine's eval_dtype (None, or bf16 quantized in-kernel),
+    # so this run's eval_dtype must match (prox always runs at None).
     use_fused = (
         config.linesearch == "batched"
-        and eval_dtype is None
         and getattr(engine, "fused_trials_ready", False)
+        and eval_dtype == getattr(engine, "fused_eval_dtype", None)
     )
 
     def temper(fc_raw, temperature):

@@ -177,7 +177,7 @@ def _inv_from_chol(l, t, one, zero):
     return inv
 
 
-def _trials_kernel(n, s, nl_specs, lin_specs,
+def _trials_kernel(n, s, nl_specs, lin_specs, eval_dtype,
                    mu_ref, dmu_ref, pd_ref, po_ref, dpd_ref, dpo_ref,
                    st_ref, *rest):
     """Grid = (batch chunk g, trial t).  Refs:
@@ -280,6 +280,9 @@ def _trials_kernel(n, s, nl_specs, lin_specs,
                 for j in range(i + 1):
                     term = nodes_ref[0, j, sl] * chol_l[i][j][None]
                     t = term if t is None else t + term
+                if eval_dtype is not None:
+                    # centered offset quantization (moments._sigma_diffs)
+                    t = t.astype(eval_dtype).astype(t.dtype)
                 pts.append(t + mu_c[i][None])
             phi = sp.lanes_cost(tuple(pts), *params)
             return acc + jnp.sum(phi * w_ref[0, sl], axis=0)
@@ -450,6 +453,7 @@ def trial_costs_lanes(
     nl_arrays: tuple,      # per batch: (starts|None, nodes, weights, leaves)
     lin_arrays: tuple,     # per batch: (starts|None, a, b, c)
     interpret: bool | None = None,
+    eval_dtype=None,       # in-kernel centered offset quantization (bf16)
 ):
     """Batched fused trial evaluation.
 
@@ -565,7 +569,9 @@ def trial_costs_lanes(
         )
         out_specs.append(out_spec((sp.k, rb, LANE)))
 
-    kernel = functools.partial(_trials_kernel, n, s, nl_specs, lin_specs)
+    kernel = functools.partial(
+        _trials_kernel, n, s, nl_specs, lin_specs, eval_dtype
+    )
     out = pl.pallas_call(
         kernel,
         grid=(grid_b, n_trials),
@@ -590,7 +596,7 @@ def trial_costs_lanes(
 
 
 def make_trial_costs_vmappable(n, s, n_trials, nl_specs, lin_specs,
-                               interpret=None):
+                               interpret=None, eval_dtype=None):
     """Per-problem fused trial evaluation, efficient under outer vmap
     (problem axes flatten onto the 128 lanes — same pattern as
     chain_lanes/quad_lanes).  Returns a function
@@ -650,7 +656,7 @@ def make_trial_costs_vmappable(n, s, n_trials, nl_specs, lin_specs,
         core, trials, nl_arrays, lin_arrays = _regroup(args)
         return trial_costs_lanes(
             *core, trials, nl_specs, lin_specs, nl_arrays, lin_arrays,
-            interpret=interpret,
+            interpret=interpret, eval_dtype=eval_dtype,
         )
 
     @call.def_vmap

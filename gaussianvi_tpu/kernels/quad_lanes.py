@@ -80,7 +80,7 @@ def _row_block_quad(k: int, s: int, m: int, with_moments: bool,
 
 
 def _quad_kernel(k_factors, s, with_moments, lanes_cost, param_shapes,
-                 mu_ref, covd_ref, nodes_ref, w_ref, *rest):
+                 eval_dtype, mu_ref, covd_ref, nodes_ref, w_ref, *rest):
     """Inputs: mu [1, K, s, RB, 128], covd [1, K, s, s, RB, 128],
     nodes [1, s, M, RB, 128] (lanes-broadcast node components),
     w [1, M, RB, 128], param leaves [1, K, *leaf, RB, 128]; outputs
@@ -120,6 +120,11 @@ def _quad_kernel(k_factors, s, with_moments, lanes_cost, param_shapes,
                 for j in range(i + 1):
                     term = nodes_ref[0, j, sl] * chol[i][j][None]
                     t = term if t is None else t + term
+                if eval_dtype is not None:
+                    # centered offset quantization (moments._sigma_diffs):
+                    # round-trip the offset through eval_dtype; phi and the
+                    # reductions stay in the working dtype
+                    t = t.astype(eval_dtype).astype(t.dtype)
                 diff.append(t)                     # [MC, RB, 128]
             pts = tuple(diff[i] + mu_k[i][None] for i in range(s))
             phi = lanes_cost(pts, *params)         # [MC, RB, 128]
@@ -163,10 +168,18 @@ def quad_lanes(
     params: tuple[jnp.ndarray, ...] = (),
     with_moments: bool = False,
     interpret: bool | None = None,
+    eval_dtype=None,
 ):
     """Batched fused quadrature: mu [B, K, d], cov [B, K, d, d],
     nodes [M, d], weights [M], params leaves [B, K, *leaf] ->
     E[phi] [B, K] (+ E[(x-mu)phi] [B, K, d], E[xx^T phi] [B, K, d, d]).
+
+    ``eval_dtype`` quantizes the sigma offsets in-kernel (the centered
+    round-trip of moments._sigma_diffs) so ``moments_eval_dtype`` composes
+    with the lanes path; use bfloat16 only (TPU-native cast).  Note the
+    offsets never leave VMEM here, so unlike the XLA path the quantization
+    saves no HBM — it exists for numerical consistency when the dispatch
+    mixes paths across shapes.
 
     Returns None when the configuration exceeds the VMEM budget (caller
     falls back to the XLA path).
@@ -246,7 +259,8 @@ def quad_lanes(
         out_specs += [spec((k, d, rb, LANE)), spec((k, d, d, rb, LANE))]
 
     kernel = functools.partial(
-        _quad_kernel, k, d, with_moments, lanes_cost, param_shapes
+        _quad_kernel, k, d, with_moments, lanes_cost, param_shapes,
+        eval_dtype,
     )
     out = pl.pallas_call(
         kernel,
@@ -279,7 +293,8 @@ def _ensure(axis_size, x, batched):
 
 
 def quad_lanes_vmappable(nodes, weights, mu, cov, lanes_cost, params=(),
-                         with_moments=False, interpret=None):
+                         with_moments=False, interpret=None,
+                         eval_dtype=None):
     """``quad_lanes`` on UNBATCHED per-problem operands (mu [K, d], ...),
     efficient under (nested) outer vmaps: every batch axis (problems x
     line-search trials) flattens onto the 128 lanes, exactly like the chain
@@ -298,7 +313,7 @@ def quad_lanes_vmappable(nodes, weights, mu, cov, lanes_cost, params=(),
         # base signature is BATCHED: mu_ [B, K, d]
         return quad_lanes(
             mu_, cov_, nodes_, weights_, lanes_cost, tuple(params_),
-            with_moments, interpret,
+            with_moments, interpret, eval_dtype,
         )
 
     @call.def_vmap
