@@ -39,7 +39,13 @@ GVI-GH-Cuda-impl.h:161-192 + the backtracking cost path
 the whole search stays in VMEM.
 
 Layout contract matches :mod:`.chain_lanes` / :mod:`.quad_lanes`: batch
-packed on (RB sublanes x 128 lanes); grid = (batch chunks, trials).
+packed on (RB sublanes x 128 lanes); grid = (batch chunks, trial groups).
+When the batch needs fewer sublane rows than the VMEM budget allows, the
+spare rows carry ADDITIONAL trials per grid step (the trial step enters
+the kernel as a full [RB, 128] tile, so each rows_b-row group evaluates a
+different trial against a replicated batch) — without this, small batches
+left the vector units mostly idle and the fused path measured ~2x slower
+than the separate kernels at B=64.
 """
 
 from __future__ import annotations
@@ -135,15 +141,34 @@ def row_elems_trials(n: int, s: int, n_trials: int,
 
 
 def _row_block_trials(n, s, n_trials, nl_specs, lin_specs, batch) -> int:
+    rows_b, tpg = _layout_trials(n, s, n_trials, nl_specs, lin_specs, batch)
+    return rows_b * tpg
+
+
+def _layout_trials(n, s, n_trials, nl_specs, lin_specs,
+                   batch) -> tuple[int, int]:
+    """(rows_b, trials_per_grid): how the RB sublane rows of one grid step
+    are split between batch rows and trial replicas.  (0, 0) = over budget.
+
+    When the batch needs fewer rows than the VMEM budget allows (small B),
+    the SPARE rows carry additional line-search trials — the kernel reads
+    the trial step as a full [RB, 128] tile, so rows can hold different
+    trials with the batch replicated across them; this keeps the vector
+    units full at small B, where a trial-per-grid-step layout was measured
+    2x slower than the separate-kernel path (one 64-problem row per step)."""
     per_row = row_elems_trials(n, s, n_trials, nl_specs, lin_specs)
     if per_row > _MAX_ROW_ELEMS_TRIALS:
-        return 0
+        return 0, 0
     cap = min(8, _MAX_ROW_ELEMS_TRIALS // per_row)
     rows = -(-batch // LANE)
-    return min(
-        range(1, cap + 1),
-        key=lambda rb: (-(-rows // rb) * rb, -rb),
-    )
+    if rows >= cap:
+        # batch fills the budget: pick the row block minimizing padded rows
+        rb = min(
+            range(1, cap + 1),
+            key=lambda r: (-(-rows // r) * r, -r),
+        )
+        return rb, 1
+    return rows, min(cap // rows, n_trials)
 
 
 def trials_fit_lanes(n, s, n_trials, nl_specs, lin_specs) -> bool:
@@ -466,10 +491,11 @@ def trial_costs_lanes(
         interpret = jax.default_backend() != "tpu"
     b, n, s = mu.shape
     n_trials = trials.shape[0]
-    rb = _row_block_trials(n, s, n_trials, nl_specs, lin_specs, b)
-    if rb == 0:
+    rows_b, tpg = _layout_trials(n, s, n_trials, nl_specs, lin_specs, b)
+    if rows_b == 0:
         return None
-    pad = (-b) % (LANE * rb)
+    rb = rows_b * tpg            # sublane rows per grid step
+    pad = (-b) % (LANE * rows_b)
     if pad:
         rep = lambda x: jnp.concatenate(
             [x, jnp.broadcast_to(x[0:1], (pad,) + x.shape[1:])]
@@ -484,19 +510,36 @@ def trial_costs_lanes(
             for (st, a, bb, c) in lin_arrays
         )
     bp = b + pad
-    grid_b = bp // (LANE * rb)
+    grid_b = bp // (LANE * rows_b)   # == 1 whenever tpg > 1
+    n_tg = -(-n_trials // tpg)       # trial grid steps
+    t_pad = n_tg * tpg - n_trials
+    trials_p = trials
+    if t_pad:
+        # replicate the last (smallest) trial step into the padded slots:
+        # always finite, outputs sliced off
+        trials_p = jnp.concatenate(
+            [trials, jnp.broadcast_to(trials[-1:], (t_pad,))]
+        )
 
     def lanes(x):
-        return _pack(jnp.moveaxis(x, 0, -1), grid_b, rb)
+        y = _pack(jnp.moveaxis(x, 0, -1), grid_b, rows_b)
+        if tpg > 1:
+            # replicate the batch across the tpg trial row-groups:
+            # row r = rt * rows_b + rbatch holds batch chunk rbatch for
+            # trial replica rt (the kernel's st tile varies per row)
+            y = jnp.tile(y, (1,) * (y.ndim - 2) + (tpg, 1))
+        return y
 
     no = max(n - 1, 1)
     mu_l, dmu_l = lanes(mu), lanes(dmu)
     pd_l, dpd_l = lanes(pd), lanes(dpd)
     po_l, dpo_l = lanes(po), lanes(dpo)
-    # trial steps lanes-broadcast: [T, RB, 128], block [1, RB, 128] per t
+    # trial steps as row-varying tiles: block [1, RB, 128] for grid step t
+    # holds trials t*tpg .. t*tpg+tpg-1, one per rows_b-row group
     st_l = jnp.broadcast_to(
-        trials.astype(mu.dtype)[:, None, None], (n_trials, rb, LANE)
-    )
+        trials_p.astype(mu.dtype).reshape(n_tg, tpg)[:, :, None, None],
+        (n_tg, tpg, rows_b, LANE),
+    ).reshape(n_tg, rb, LANE)
 
     def spec(shape):
         """Batch-chunk-indexed input: block g, any t."""
@@ -556,16 +599,16 @@ def trial_costs_lanes(
             (1, 1) + shape, lambda g, t, nd=nd: (g, t) + (0,) * nd
         )
 
-    out_shapes = [jax.ShapeDtypeStruct((grid_b, n_trials, rb, LANE), mu.dtype)]
+    out_shapes = [jax.ShapeDtypeStruct((grid_b, n_tg, rb, LANE), mu.dtype)]
     out_specs = [out_spec((rb, LANE))]
     for sp in nl_specs:
         out_shapes.append(
-            jax.ShapeDtypeStruct((grid_b, n_trials, sp.k, rb, LANE), mu.dtype)
+            jax.ShapeDtypeStruct((grid_b, n_tg, sp.k, rb, LANE), mu.dtype)
         )
         out_specs.append(out_spec((sp.k, rb, LANE)))
     for sp in lin_specs:
         out_shapes.append(
-            jax.ShapeDtypeStruct((grid_b, n_trials, sp.k, rb, LANE), mu.dtype)
+            jax.ShapeDtypeStruct((grid_b, n_tg, sp.k, rb, LANE), mu.dtype)
         )
         out_specs.append(out_spec((sp.k, rb, LANE)))
 
@@ -574,7 +617,7 @@ def trial_costs_lanes(
     )
     out = pl.pallas_call(
         kernel,
-        grid=(grid_b, n_trials),
+        grid=(grid_b, n_tg),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -583,10 +626,13 @@ def trial_costs_lanes(
     )(*operands)
 
     def unlanes(y):
-        # [G, T, ..., RB, 128] -> [B, T, ...]
-        x = jnp.moveaxis(y, 0, -3)          # [T, ..., G, RB, 128]
+        # [G, TG, ..., RB=tpg*rows_b, 128] -> [B, T, ...]
+        y = y.reshape(y.shape[:-2] + (tpg, rows_b, LANE))
+        y = jnp.moveaxis(y, -3, 2)          # [G, TG, tpg, ..., rows_b, 128]
+        y = y.reshape((y.shape[0], n_tg * tpg) + y.shape[3:])
+        x = jnp.moveaxis(y, 0, -3)          # [T_pad, ..., G, rows_b, 128]
         x = x.reshape(x.shape[:-3] + (bp,))
-        return jnp.moveaxis(x, -1, 0)[:b]
+        return jnp.moveaxis(x, -1, 0)[:b, :n_trials]
 
     ld = unlanes(out[0])
     n_nl = len(nl_specs)
