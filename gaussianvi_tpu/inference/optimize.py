@@ -124,25 +124,18 @@ class _Carry(NamedTuple):
     converged: jnp.ndarray
 
 
-def run_gvi(
-    engine,
-    init_state: GaussianState,
-    config: GVIConfig,
-    method: str = "ngd",
-) -> tuple[GaussianState, GVIHistory]:
-    """The unified GVI loop over an engine (trace-time; call under jit).
+def make_gvi_step(engine, config: GVIConfig, method: str = "ngd"):
+    """The GVI iteration body as a standalone ``(carry, i_iter) -> (carry,
+    record)`` function (the ``lax.scan`` body of :func:`run_gvi`).
 
-    Returns the final state and history; ``history.factor_costs`` is the
-    raw tuple of per-batch cost arrays (callers concatenate/reassemble).
-    """
+    Exposed so large shapes can run the loop from the host with the body
+    jitted ONCE per iteration program instead of one whole-run program —
+    the workaround for whole-program compile limits (PERF.md N-axis
+    notes); :func:`run_gvi` itself scans this same body."""
     if method not in ("ngd", "prox"):
         raise ValueError(f"unknown method {method!r}")
     temper_costs = method == "ngd"
-    dtype = init_state.mu.dtype
-    eval_dtype = (
-        jnp.dtype(config.moments_eval_dtype)
-        if config.moments_eval_dtype and method == "ngd" else None
-    )
+    eval_dtype = _eval_dtype(config, method)
     # fused line-search path: one Pallas program evaluates every trial
     # (kernels/fused_trials.py); engine eligibility is static.  The kernel
     # bakes in the engine's eval_dtype (None, or bf16 quantized in-kernel),
@@ -163,6 +156,7 @@ def run_gvi(
     def iteration(carry: _Carry, i_iter):
         (state, cov_diag, cov_off, logdet, fc_raw, temperature, is_lowtemp,
          converged) = carry
+        dtype = state.mu.dtype
 
         # scheduled high-temperature switch (GVI-GH-impl.h:45-51)
         do_switch = jnp.logical_and(i_iter == config.niters_lowtemp, is_lowtemp)
@@ -396,9 +390,26 @@ def run_gvi(
         )
         return new_carry, record
 
+    return iteration
+
+
+def _eval_dtype(config: GVIConfig, method: str):
+    return (
+        jnp.dtype(config.moments_eval_dtype)
+        if config.moments_eval_dtype and method == "ngd" else None
+    )
+
+
+def make_gvi_init(
+    engine, init_state: GaussianState, config: GVIConfig,
+    method: str = "ngd",
+) -> _Carry:
+    """The initial loop carry for :func:`make_gvi_step`'s body (covariance
+    + logdet + untempered factor expectations of the initial iterate)."""
+    dtype = init_state.mu.dtype
     cov_diag0, cov_off0, ld0 = engine.cov_logdet(init_state.precision)
     fc_raw0 = engine.factor_costs_raw(
-        init_state.mu, cov_diag0, cov_off0, eval_dtype
+        init_state.mu, cov_diag0, cov_off0, _eval_dtype(config, method)
     )
     init_carry = _Carry(
         init_state,
@@ -414,7 +425,22 @@ def run_gvi(
     # values will acquire (e.g. temperature becomes dp-varying after one
     # data-dependent escalation decision) for the scan to type-check under
     # shard_map's vma system
-    init_carry = vary_tree(init_carry, engine.carry_axes)
+    return vary_tree(init_carry, engine.carry_axes)
+
+
+def run_gvi(
+    engine,
+    init_state: GaussianState,
+    config: GVIConfig,
+    method: str = "ngd",
+) -> tuple[GaussianState, GVIHistory]:
+    """The unified GVI loop over an engine (trace-time; call under jit).
+
+    Returns the final state and history; ``history.factor_costs`` is the
+    raw tuple of per-batch cost arrays (callers concatenate/reassemble).
+    """
+    iteration = make_gvi_step(engine, config, method)
+    init_carry = make_gvi_init(engine, init_state, config, method)
     final_carry, records = lax.scan(
         iteration, init_carry, jnp.arange(config.niters)
     )

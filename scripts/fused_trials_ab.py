@@ -35,9 +35,15 @@ def bench_pair(graph_b, state_b, n_problems, pipeline=24, rounds=3):
 
     base = GVIConfig(niters=10, niters_lowtemp=10, step_size_base=0.9,
                      chain_impl="lanes")
+    # "seq" re-adjudicates the line-search strategy at this operating point
+    # (VERDICT r2 item 6): the reference's sequential shrink evaluates ~1
+    # trial/iteration at steady state vs all 11 batched.
     runs = {}
-    for mode in ("off", "auto"):
-        config = replace(base, fused_trials=mode)
+    for mode in ("off", "auto", "seq"):
+        config = (
+            replace(base, fused_trials="off", linesearch="seq")
+            if mode == "seq" else replace(base, fused_trials=mode)
+        )
         run = jax.jit(jax.vmap(
             lambda g, s, c=config: optimize(g, s, c, method="ngd")[0]
         ))
@@ -51,6 +57,20 @@ def bench_pair(graph_b, state_b, n_problems, pipeline=24, rounds=3):
     mu_f = runs["auto"](graph_b, state_b).mu
     print(f"  final-mu max |off - fused| = "
           f"{float(jnp.max(jnp.abs(mu_o - mu_f))):.3e}", flush=True)
+    # mu can diverge per-problem when an accept decision flips under f32
+    # noise; the QUALITY check is the final cost distribution
+    cost_runs = {}
+    for mode in ("off", "auto"):
+        config = replace(base, fused_trials=mode)
+        cost_runs[mode] = jax.jit(jax.vmap(
+            lambda g, s, c=config: optimize(g, s, c, method="ngd")[1].cost[-1]
+        ))(graph_b, state_b)
+    c_o, c_f = cost_runs["off"], cost_runs["auto"]
+    rel = jnp.abs(c_f - c_o) / jnp.abs(c_o)
+    print(f"  final-cost rel diff: median {float(jnp.median(rel)):.2e} "
+          f"max {float(jnp.max(rel)):.2e}; "
+          f"sum off {float(jnp.sum(c_o)):.4f} fused {float(jnp.sum(c_f)):.4f}",
+          flush=True)
 
     best = {m: float("inf") for m in runs}
     for _ in range(rounds):

@@ -61,9 +61,12 @@ def main():
     _sync(jax.jit(lambda x: (x @ x).sum())(jnp.eye(128)))
     log(f"warmup {time.perf_counter() - t0:.0f}s")
 
-    graph_b, state_b = build_batch(64, 32, 2, 4)
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    fused = sys.argv[2] if len(sys.argv) > 2 else "auto"
+    log(f"B={b} fused_trials={fused}")
+    graph_b, state_b = build_batch(b, 32, 2, 4)
     config = GVIConfig(niters=10, niters_lowtemp=10, step_size_base=0.9,
-                       chain_impl="lanes")
+                       chain_impl="lanes", fused_trials=fused)
     run = jax.jit(jax.vmap(lambda g, s: optimize(g, s, config)[0]))
     _sync(run(graph_b, state_b))
 
