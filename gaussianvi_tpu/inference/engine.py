@@ -104,7 +104,7 @@ class LocalEngine:
         from ..kernels.fused_trials import (
             LinTrialSpec,
             NLTrialSpec,
-            linear_quadratic_form,
+            linear_residual_form,
             make_trial_costs_vmappable,
             trials_fit_lanes,
         )
@@ -154,10 +154,11 @@ class LocalEngine:
             if lb.slice_offset is None and not lb.shared_start:
                 return None
             rows = slice(0, 1) if lb.uniform else slice(None)
-            a, b, c = linear_quadratic_form(
+            a, pm, prec_c = linear_residual_form(
                 lb.lam[rows], lb.psi[rows], lb.target_mu[rows],
                 lb.target_prec[rows], lb.constant[rows],
             )
+            lam_r = lb.lam[rows]
             if lb.nb == 2:
                 a = jnp.stack(
                     [a[:, :s, :s], a[:, s:, s:], a[:, :s, s:]], axis=1
@@ -165,11 +166,12 @@ class LocalEngine:
             else:
                 a = a[:, None]
             lin_specs.append(LinTrialSpec(
-                lb.nb, lb.start.shape[0], a.shape[0], lb.slice_offset
+                lb.nb, lb.start.shape[0], a.shape[0], lb.lam.shape[1],
+                lb.slice_offset,
             ))
             if lb.slice_offset is None:
                 flat.append(lb.start)
-            flat += [a, b, c]
+            flat += [a, lam_r, pm, prec_c]
         nl_specs, lin_specs = tuple(nl_specs), tuple(lin_specs)
         if not trials_fit_lanes(n, s, n_trials, nl_specs, lin_specs):
             return None

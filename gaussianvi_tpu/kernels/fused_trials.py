@@ -21,12 +21,14 @@ structurally:
   state — then discarded.  No [N, s, s] covariance tensor is ever written:
   the kernel's only outputs are the per-factor expected costs and the
   log determinant, [T, K]-sized scalars per lane.
-* Linear-factor costs use the precomputed quadratic form
-  ``cost_k = <A_k, Sig_k> + mu_k^T A_k mu_k - 2 b_k . mu_k + c_k`` (A, b, c
-  iterate-independent, built once outside the optimization scan from
-  (Lam, Psi, mu_t, prec_t); A symmetrized so the 2<A12, Sig_off> folding is
-  exact).  Uniform batches (all K rows identical, e.g. the constant-dt
-  minimum-acc prior) pass a single row (``ka == 1``).
+* Linear-factor costs use the precomputed residual form
+  ``cost_k = <A_k, Sig_k> + (Lam mu - pm)^T prec_c (Lam mu - pm)`` (A, pm,
+  prec_c iterate-independent, built once outside the optimization scan
+  from (Lam, Psi, mu_t, prec_t); A symmetrized so the 2<A12, Sig_off>
+  folding is exact; the residual kept UN-expanded — the mu-quadratic
+  expansion cancels catastrophically in f32 and measurably biased accepts
+  at B=1024).  Uniform batches (all K rows identical, e.g. the
+  constant-dt minimum-acc prior) pass a single row (``ka == 1``).
 
 The accepted iterate's covariance (needed by the next iteration's
 gradients) is recomputed by ONE width-B chain call per iteration — 1/T of
@@ -91,27 +93,36 @@ class NLTrialSpec(NamedTuple):
 
 
 class LinTrialSpec(NamedTuple):
-    """Static description of one linear factor batch in quadratic form."""
+    """Static description of one linear factor batch in residual form."""
 
     nb: int                               # 1 (anchor) or 2 (edge)
     k: int
     ka: int                               # 1 if uniform over K else k
+    r: int                                # residual rank (lam rows)
     slice_offset: int | None              # None -> starts passed (SMEM)
 
 
-def linear_quadratic_form(lam, psi, target_mu, target_prec, constant):
-    """(A, b, c) with ``cost = <A, Sig> + mu^T A mu - 2 b.mu + c`` equal to
-    :func:`..factors.moments.linear_cost` (constant folded in, A
-    symmetrized).  Row axes: [Ka, d, d], [Ka, d], [Ka]."""
+def linear_residual_form(lam, psi, target_mu, target_prec, constant):
+    """(A, pm, prec_c) with
+
+        cost = <A, Sig> + (lam mu - pm)^T prec_c (lam mu - pm)
+
+    equal to :func:`..factors.moments.linear_cost` (constant folded into A
+    and prec_c, A symmetrized).  The residual is evaluated as written —
+    NOT expanded into ``mu^T A mu - 2 b.mu + c``, whose large terms cancel
+    catastrophically in f32 once |mu| >> |residual| (measured on device as
+    a systematic accept-bias at B=1024).  Row axes: A [Ka, d, d],
+    pm [Ka, r], prec_c [Ka, r, r]."""
     from ..ops.precision import einsum
 
     a = einsum("kra,krs,ksb->kab", lam, target_prec, lam)
     a = 0.5 * (a + jnp.swapaxes(a, -1, -2)) * constant[:, None, None]
     pm = einsum("krt,kt->kr", psi, target_mu)
-    b = einsum("kra,kr->ka", lam, einsum("krs,ks->kr", target_prec, pm))
-    b = b * constant[:, None]
-    c = einsum("kr,krs,ks->k", pm, target_prec, pm) * constant
-    return a, b, c
+    prec_c = (
+        0.5 * (target_prec + jnp.swapaxes(target_prec, -1, -2))
+        * constant[:, None, None]
+    )
+    return a, pm, prec_c
 
 
 def _pad_m(m: int) -> int:
@@ -134,7 +145,9 @@ def row_elems_trials(n: int, s: int, n_trials: int,
         out += sp.k
     for sp in lin_specs:
         blocks = 3 if sp.nb == 2 else 1
-        per += 2 * (sp.ka * (blocks * s * s + sp.nb * s + 1))
+        per += 2 * sp.ka * (
+            blocks * s * s + sp.r * sp.nb * s + sp.r + sp.r * sp.r
+        )
         out += sp.k
     per += 2 * out
     return per
@@ -212,8 +225,9 @@ def _trials_kernel(n, s, nl_specs, lin_specs, eval_dtype,
     then per nl batch: (starts [K] SMEM if dynamic), nodes [1, s, M, RB, 128],
     w [1, M, RB, 128], param leaves [1, K, *leaf, RB, 128];
     then per lin batch: (starts [K] SMEM if dynamic),
-    a [1, Ka, (3 if nb==2 else 1), s, s, RB, 128], b [1, Ka, nb*s, RB, 128],
-    c [1, Ka, RB, 128].
+    a [1, Ka, (3 if nb==2 else 1), s, s, RB, 128],
+    lam [1, Ka, r, nb*s, RB, 128], pm [1, Ka, r, RB, 128],
+    prec_c [1, Ka, r, r, RB, 128].
     Outputs (leading [1, 1] = (g, t) block axes): ld [1, 1, RB, 128], fc
     per nl batch [1, 1, K, RB, 128], fc per lin batch [1, 1, K, RB, 128].
     Scratch: fpiv [N, s, s, RB, 128].
@@ -236,8 +250,10 @@ def _trials_kernel(n, s, nl_specs, lin_specs, eval_dtype,
         if sp.slice_offset is None:
             starts = rest[pos]
             pos += 1
-        lin_refs.append((starts, rest[pos], rest[pos + 1], rest[pos + 2]))
-        pos += 3
+        lin_refs.append(
+            (starts, rest[pos], rest[pos + 1], rest[pos + 2], rest[pos + 3])
+        )
+        pos += 4
     ld_ref = rest[pos]
     pos += 1
     fc_nl_refs = rest[pos:pos + len(nl_specs)]
@@ -314,35 +330,53 @@ def _trials_kernel(n, s, nl_specs, lin_specs, eval_dtype,
 
         return jax.lax.fori_loop(0, n_chunks, chunk_body, zero)
 
-    def lin_cost_nb1(refs, k, ka, mu_c, cov_l):
-        """<A, Sig> + mu^T A mu - 2 b.mu + c for an anchor factor."""
-        _, a_ref, b_ref, c_ref = refs
-        kk = jnp.minimum(k, ka - 1)
+    def _resid_cost(refs, kk, r, mu_e):
+        """(lam mu - pm)^T prec_c (lam mu - pm) — the residual evaluated as
+        written (the expanded mu-quadratic cancels catastrophically in f32
+        once |mu| >> |residual|; see linear_residual_form)."""
+        _, _, lam_ref, pm_ref, prec_ref = refs
+        de = len(mu_e)
+        resid = []
+        for rr in range(r):
+            acc = -pm_ref[0, kk, rr]
+            for d_ in range(de):
+                acc = acc + lam_ref[0, kk, rr, d_] * mu_e[d_]
+            resid.append(acc)
+        out = None
+        for rr in range(r):
+            row = None
+            for cc in range(r):
+                term = prec_ref[0, kk, rr, cc] * resid[cc]
+                row = term if row is None else row + term
+            term = resid[rr] * row
+            out = term if out is None else out + term
+        return out
+
+    def lin_cost_nb1(refs, k, sp, mu_c, cov_l):
+        """<A, Sig> + stable residual quadratic for an anchor factor."""
+        _, a_ref, _, _, _ = refs
+        kk = jnp.minimum(k, sp.ka - 1)
         a_l = _listify(a_ref[0, kk, 0], s)
-        acc = c_ref[0, kk]
+        acc = _resid_cost(refs, kk, sp.r, mu_c)
         for i in range(s):
-            acc = acc - 2.0 * b_ref[0, kk, i] * mu_c[i]
             for j in range(s):
-                acc = acc + a_l[i][j] * (cov_l[i][j] + mu_c[i] * mu_c[j])
+                acc = acc + a_l[i][j] * cov_l[i][j]
         return acc
 
-    def lin_cost_nb2(refs, k, ka, mu_i, mu_j, cii, cjj, cij):
+    def lin_cost_nb2(refs, k, sp, mu_i, mu_j, cii, cjj, cij):
         """Edge factor: blocks A11/A22/A12 against (Sig_ii, Sig_jj, Sig_ij)
-        + the mu quadratic."""
-        _, a_ref, b_ref, c_ref = refs
-        kk = jnp.minimum(k, ka - 1)
+        + the stable residual quadratic over the concatenated mean."""
+        _, a_ref, _, _, _ = refs
+        kk = jnp.minimum(k, sp.ka - 1)
         a11 = _listify(a_ref[0, kk, 0], s)
         a22 = _listify(a_ref[0, kk, 1], s)
         a12 = _listify(a_ref[0, kk, 2], s)
-        acc = c_ref[0, kk]
+        acc = _resid_cost(refs, kk, sp.r, mu_i + mu_j)
         for i in range(s):
-            acc = acc - 2.0 * (
-                b_ref[0, kk, i] * mu_i[i] + b_ref[0, kk, s + i] * mu_j[i]
-            )
             for j in range(s):
-                acc = acc + a11[i][j] * (cii[i][j] + mu_i[i] * mu_i[j])
-                acc = acc + a22[i][j] * (cjj[i][j] + mu_j[i] * mu_j[j])
-                acc = acc + 2.0 * a12[i][j] * (cij[i][j] + mu_i[i] * mu_j[j])
+                acc = acc + a11[i][j] * cii[i][j]
+                acc = acc + a22[i][j] * cjj[i][j]
+                acc = acc + 2.0 * a12[i][j] * cij[i][j]
         return acc
 
     def trial_mu(i):
@@ -373,14 +407,14 @@ def _trials_kernel(n, s, nl_specs, lin_specs, eval_dtype,
 
                 @pl.when(jnp.logical_and(k >= 0, k < sp.k))
                 def _(sp=sp, refs=refs, fc_ref=fc_ref, k=k):
-                    fc_ref[0, 0, k] = lin_cost_nb1(refs, k, sp.ka, mu_c, cov_l)
+                    fc_ref[0, 0, k] = lin_cost_nb1(refs, k, sp, mu_c, cov_l)
             else:
                 starts = refs[0]
                 for k in range(sp.k):
                     @pl.when(starts[k] == i)
                     def _(sp=sp, refs=refs, fc_ref=fc_ref, k=k):
                         fc_ref[0, 0, k] = lin_cost_nb1(
-                            refs, k, sp.ka, mu_c, cov_l
+                            refs, k, sp, mu_c, cov_l
                         )
 
     # ---- backward sweep fused with edge inversion + factor eval -----------
@@ -421,7 +455,7 @@ def _trials_kernel(n, s, nl_specs, lin_specs, eval_dtype,
                 @pl.when(jnp.logical_and(k >= 0, k < sp.k))
                 def _(sp=sp, refs=refs, fc_ref=fc_ref, k=k):
                     fc_ref[0, 0, k] = lin_cost_nb2(
-                        refs, k, sp.ka, mu_i, mu_j, cii, cjj, cij
+                        refs, k, sp, mu_i, mu_j, cii, cjj, cij
                     )
             else:
                 starts = refs[0]
@@ -429,7 +463,7 @@ def _trials_kernel(n, s, nl_specs, lin_specs, eval_dtype,
                     @pl.when(starts[k] == i)
                     def _(sp=sp, refs=refs, fc_ref=fc_ref, k=k):
                         fc_ref[0, 0, k] = lin_cost_nb2(
-                            refs, k, sp.ka, mu_i, mu_j, cii, cjj, cij
+                            refs, k, sp, mu_i, mu_j, cii, cjj, cij
                         )
 
         # gpiv_i = D_i(t) - B_i gpiv_{i+1}^{-1} B_i^T  for the next step
@@ -476,7 +510,7 @@ def trial_costs_lanes(
     nl_specs: tuple[NLTrialSpec, ...],
     lin_specs: tuple[LinTrialSpec, ...],
     nl_arrays: tuple,      # per batch: (starts|None, nodes, weights, leaves)
-    lin_arrays: tuple,     # per batch: (starts|None, a, b, c)
+    lin_arrays: tuple,     # per batch: (starts|None, a, lam, pm, prec_c)
     interpret: bool | None = None,
     eval_dtype=None,       # in-kernel centered offset quantization (bf16)
 ):
@@ -506,8 +540,8 @@ def trial_costs_lanes(
             for (st, nd, w, leaves) in nl_arrays
         )
         lin_arrays = tuple(
-            (st, rep(a), rep(bb), rep(c))
-            for (st, a, bb, c) in lin_arrays
+            (st, rep(a), rep(lm), rep(pm), rep(pc))
+            for (st, a, lm, pm, pc) in lin_arrays
         )
     bp = b + pad
     grid_b = bp // (LANE * rows_b)   # == 1 whenever tpg > 1
@@ -580,7 +614,7 @@ def trial_costs_lanes(
         for leaf, sh in zip(leaves, sp.param_shapes):
             operands.append(lanes(leaf))
             in_specs.append(spec((sp.k,) + sh + (rb, LANE)))
-    for sp, (starts, a, bb, c) in zip(lin_specs, lin_arrays):
+    for sp, (starts, a, lm, pm, pc) in zip(lin_specs, lin_arrays):
         if sp.slice_offset is None:
             operands.append(starts.astype(jnp.int32))
             in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
@@ -588,10 +622,12 @@ def trial_costs_lanes(
         a3 = a.reshape(a.shape[0], sp.ka, blocks, s, s)
         operands.append(lanes(a3))
         in_specs.append(spec((sp.ka, blocks, s, s, rb, LANE)))
-        operands.append(lanes(bb))
-        in_specs.append(spec((sp.ka, sp.nb * s, rb, LANE)))
-        operands.append(lanes(c))
-        in_specs.append(spec((sp.ka, rb, LANE)))
+        operands.append(lanes(lm))
+        in_specs.append(spec((sp.ka, sp.r, sp.nb * s, rb, LANE)))
+        operands.append(lanes(pm))
+        in_specs.append(spec((sp.ka, sp.r, rb, LANE)))
+        operands.append(lanes(pc))
+        in_specs.append(spec((sp.ka, sp.r, sp.r, rb, LANE)))
 
     def out_spec(shape):
         nd = len(shape)
@@ -651,7 +687,7 @@ def make_trial_costs_vmappable(n, s, n_trials, nl_specs, lin_specs,
           -> (ld [T], fc tuple of [T, K] per batch, nl first then linear)
 
     ``flat_arrays``: per nl batch (starts? nodes weights *leaves), per lin
-    batch (starts? a b c) — starts/nodes/weights/trials are shared across
+    batch (starts? a lam pm prec_c) — starts/nodes/weights/trials are shared across
     any vmapped batch (a batched axis is collapsed to element 0; stacked
     problems share graph structure — verified by stack_problems)."""
     if interpret is None:
@@ -667,7 +703,7 @@ def make_trial_costs_vmappable(n, s, n_trials, nl_specs, lin_specs,
     for sp in lin_specs:
         if sp.slice_offset is None:
             shared.append(True)
-        shared += [False, False, False]
+        shared += [False, False, False, False]
 
     def _regroup(args):
         """flat -> (core 6, trials, nl_arrays, lin_arrays)."""
@@ -691,9 +727,11 @@ def make_trial_costs_vmappable(n, s, n_trials, nl_specs, lin_specs,
             if sp.slice_offset is None:
                 starts = args[pos]
                 pos += 1
-            lin_arrays.append((args[pos], args[pos + 1], args[pos + 2]))
-            lin_arrays[-1] = (starts,) + lin_arrays[-1]
-            pos += 3
+            lin_arrays.append(
+                (starts, args[pos], args[pos + 1], args[pos + 2],
+                 args[pos + 3])
+            )
+            pos += 4
         return core, trials, tuple(nl_arrays), tuple(lin_arrays)
 
     @jax.custom_batching.custom_vmap

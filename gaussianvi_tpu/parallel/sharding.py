@@ -178,8 +178,21 @@ class FactorShardEngine(LocalEngine):
     carry_axes = ("dp",)
 
     def __init__(self, graph: FactorGraph, config, axis: str = "fp"):
-        # XLA quadrature inside shard_map (the lanes kernel is a
-        # single-device fast path; Pallas under shard_map is unvalidated)
+        # XLA quadrature + scan chain inside shard_map (the lanes Pallas
+        # kernels are a single-device fast path; Pallas under shard_map is
+        # unvalidated, and a TPU-attached process may run this dryrun on a
+        # virtual CPU mesh, where "auto" must NOT resolve by the process
+        # platform)
+        if config.chain_impl == "auto":
+            import dataclasses
+
+            config = dataclasses.replace(
+                config,
+                chain_impl=(
+                    "assoc"
+                    if graph.num_states >= config.assoc_threshold else "seq"
+                ),
+            )
         super().__init__(graph, config, use_pallas=False, quad_impl="xla")
         self.axis = axis
 

@@ -114,6 +114,10 @@ def probe_row_blocks(graph_b, state_b, n_problems):
     try:
         for rb in (1, 2, 4, 8):
             ft._MAX_ROW_ELEMS_TRIALS = per_row * rb
+            # the budget is read at TRACE time and `optimize` carries a
+            # GLOBAL jit cache keyed only on (graph, config) — clear it or
+            # every setting silently reuses the first trace
+            optimize.clear_cache()
             run = jax.jit(jax.vmap(
                 lambda g, s_: optimize(g, s_, base, method="ngd")[0]
             ))
@@ -132,6 +136,7 @@ def probe_row_blocks(graph_b, state_b, n_problems):
                       f"{str(exc)[:200]}", flush=True)
     finally:
         ft._MAX_ROW_ELEMS_TRIALS = orig
+        optimize.clear_cache()
 
 
 def main():

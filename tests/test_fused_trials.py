@@ -17,7 +17,7 @@ from gaussianvi_tpu.factors import moments as mm
 from gaussianvi_tpu.inference import GVIConfig
 from gaussianvi_tpu.inference.engine import LocalEngine
 from gaussianvi_tpu.inference.optimize import optimize
-from gaussianvi_tpu.kernels.fused_trials import linear_quadratic_form
+from gaussianvi_tpu.kernels.fused_trials import linear_residual_form
 
 
 def _configs(niters=6):
@@ -28,7 +28,7 @@ def _configs(niters=6):
     return base, replace(base, fused_trials="off")
 
 
-class TestLinearQuadraticForm:
+class TestLinearResidualForm:
     def test_matches_linear_cost(self):
         rng = np.random.default_rng(0)
         k, r, d = 5, 3, 4
@@ -43,14 +43,61 @@ class TestLinearQuadraticForm:
         cov = jnp.asarray(a_ @ np.swapaxes(a_, -1, -2) + np.eye(d))
 
         want = mm.linear_cost(lam, psi, tmu, tprec, const, mu, cov)
-        a, b, c = linear_quadratic_form(lam, psi, tmu, tprec, const)
+        a, pm, prec_c = linear_residual_form(lam, psi, tmu, tprec, const)
+        resid = jnp.einsum("krd,kd->kr", lam, mu) - pm
         got = (
+            jnp.sum(a * cov, axis=(-2, -1))
+            + jnp.einsum("kr,krs,ks->k", resid, prec_c, resid)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    def test_residual_form_is_cancellation_safe(self):
+        """The defect that motivated the form: far-from-origin means make
+        the expanded mu-quadratic lose the (tiny) residual to f32
+        cancellation, while the residual form keeps full relative
+        accuracy.  Anchor-prior-like factor at |mu| ~ 1e3."""
+        k, s = 4, 4
+        lam = jnp.tile(jnp.eye(s, dtype=jnp.float32)[None], (k, 1, 1))
+        psi = lam
+        tmu = jnp.full((k, s), 1000.0, jnp.float32)
+        tprec = jnp.tile(
+            (100.0 * jnp.eye(s, dtype=jnp.float32))[None], (k, 1, 1)
+        )
+        const = jnp.ones((k,), jnp.float32)
+        mu = tmu + 1e-3  # true residual cost = s * 100 * 1e-6 = 4e-4
+        cov = jnp.tile(
+            (1e-6 * jnp.eye(s, dtype=jnp.float32))[None], (k, 1, 1)
+        )
+        a, pm, prec_c = linear_residual_form(lam, psi, tmu, tprec, const)
+        resid = jnp.einsum("krd,kd->kr", lam, mu) - pm
+        got = (
+            jnp.sum(a * cov, axis=(-2, -1))
+            + jnp.einsum("kr,krs,ks->k", resid, prec_c, resid)
+        )
+        # f64 numpy oracle of linear_cost
+        lam64, tprec64 = np.asarray(lam, np.float64), np.asarray(
+            tprec, np.float64
+        )
+        mu64, tmu64 = np.asarray(mu, np.float64), np.asarray(tmu, np.float64)
+        a64 = np.einsum("kra,krs,ksb->kab", lam64, tprec64, lam64)
+        r64 = np.einsum("krd,kd->kr", lam64, mu64) - np.einsum(
+            "krt,kt->kr", np.asarray(psi, np.float64), tmu64
+        )
+        want = (
+            np.einsum("kab,kba->k", a64, np.asarray(cov, np.float64))
+            + np.einsum("kr,krs,ks->k", r64, tprec64, r64)
+        ) * np.asarray(const, np.float64)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3)
+        # the expanded form loses the residual entirely at this scale
+        b = jnp.einsum("kra,krs,ks->ka", lam, tprec, pm) * const[:, None]
+        c = jnp.einsum("kr,krs,ks->k", pm, tprec, pm) * const
+        expanded = (
             jnp.sum(a * cov, axis=(-2, -1))
             + jnp.einsum("ki,kij,kj->k", mu, a, mu)
             - 2.0 * jnp.sum(b * mu, axis=-1)
             + c
         )
-        np.testing.assert_allclose(got, want, rtol=1e-12)
+        assert not np.allclose(np.asarray(expanded), want, rtol=0.5)
 
 
 class TestUniformFlag:
