@@ -39,7 +39,9 @@ def main():
     # 1. chain estimation, scan chain
     graph, init, _ = build_chain_estimation(num_states=16, dim_x=1,
                                             gh_degree=4)
-    cfg = GVIConfig(niters=5, niters_lowtemp=5, step_size_base=0.9)
+    # pin the scan path: "auto" now resolves to lanes on TPU
+    cfg = GVIConfig(niters=5, niters_lowtemp=5, step_size_base=0.9,
+                    chain_impl="seq")
     t0 = time.perf_counter()
     final, hist = optimize(graph, init, cfg, method="ngd")
     sync(final)
