@@ -69,7 +69,11 @@ def _lanes_leaves(fb, mu_k):
 
 
 def _lanes_param_elems(fb) -> int:
-    """Per-lane VMEM element count of the lanes param leaves (static)."""
+    """Per-lane VMEM element count of the lanes param leaves (static):
+    the FULL per-problem size, K axis included — this must match what
+    quad_lanes derives from the batched [B, K, *leaf] operands (it was
+    once computed without the K axis, under-counting SDF patches K-fold
+    and green-lighting shapes the kernel then rejected)."""
     import math
 
     if fb.lanes_prep is not None:
@@ -78,9 +82,9 @@ def _lanes_param_elems(fb) -> int:
         out = jax.eval_shape(
             fb.lanes_prep, jax.ShapeDtypeStruct((k, d), dtype)
         )
-        return sum(math.prod(l.shape[1:]) for l in jax.tree.leaves(out))
+        return sum(math.prod(l.shape) for l in jax.tree.leaves(out))
     leaves = jax.tree.leaves(fb.params) if fb.params is not None else []
-    return sum(math.prod(l.shape[1:]) for l in leaves)
+    return sum(math.prod(l.shape) for l in leaves)
 
 
 def _lanes_eligible(fb, eval_dtype, with_moments: bool) -> bool:

@@ -344,6 +344,15 @@ def quad_lanes_vmappable(nodes, weights, mu, cov, lanes_cost, params=(),
     out = call(
         nodes, weights, mu[None], cov[None], *[p[None] for p in params]
     )
+    if out is None:
+        # quad_lanes refused the shape: the caller's quad_fits_lanes
+        # pre-check disagreed with the kernel's budget — a bug, not a
+        # fallback condition (silently returning None once crashed the
+        # moment unpacking three layers up)
+        raise ValueError(
+            "quad_lanes rejected a shape quad_fits_lanes accepted — "
+            "eligibility accounting out of sync"
+        )
     return jax.tree.map(lambda y: y[0], out)
 
 
