@@ -154,6 +154,32 @@ def main():
     if not ok:
         failures.append("e2e-numerics-gate")
 
+    # 6. planner gate: the planning workloads run the SEPARATE-kernel path
+    # (SDF lanes_prep disqualifies the fused kernel), which PERF.md §14
+    # showed carries a device-f32 accept-noise tail on hard problems —
+    # check the planar planner's device trajectory against the f64 host
+    # oracle every bench session
+    from gaussianvi_tpu.examples.planar_planning import build_planar_planning
+
+    with jax.enable_x64(True), jax.default_device(cpu):
+        g64p, i64p, cfg_p, _ = build_planar_planning(gh_degree=3)
+        _, h64p = opt_fn(g64p, i64p, cfg_p, method="ngd")
+        c64p = float(h64p.cost[-1])
+    g32p, i32p, cfg_p32, _ = build_planar_planning(gh_degree=3)
+    t0 = time.perf_counter()
+    _, h32p = opt_fn(g32p, i32p, cfg_p32, method="ngd")
+    sync(h32p.cost)
+    c32p = float(h32p.cost[-1])
+    relp = abs(c32p - c64p) / max(abs(c64p), 1e-9)
+    # accept decisions can flip at accept-boundary trials; the gate is the
+    # basin (2%), not bitwise parity
+    ok = np.isfinite(c32p) and relp < 2e-2
+    print(f"planar-planner f32-vs-f64 gate: {time.perf_counter()-t0:.1f}s, "
+          f"final cost {c32p:.2f} vs f64 {c64p:.2f} (rel {relp:.2e}, "
+          f"tol 2e-2) [{'OK' if ok else 'FAIL'}]")
+    if not ok:
+        failures.append("planner-gate")
+
     if failures:
         print(f"FAILURES: {failures}")
         return 1
