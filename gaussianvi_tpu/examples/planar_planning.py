@@ -59,7 +59,10 @@ def build_planar_planning(
 ):
     """``patch_size``: opt-in lanes-quadrature fast path for the obstacle
     factor (pre-gathered SDF windows; approximate once the marginal spread
-    exceeds the window — see factors.robots.make_patch_cost_2d)."""
+    exceeds the window — see factors.robots.make_patch_cost_2d).
+    Measured SLOWER than the exact path on the 2-D field (bilinear
+    gathers are cheap; the 16x16 windows force an rb=1 kernel — PERF.md
+    section 17): keep the default here, use patches in 3-D."""
     dtype = dtype or jnp.zeros(0).dtype
     dim_x, state_dim = 2, 4
     dt = total_time / (num_states - 1)
