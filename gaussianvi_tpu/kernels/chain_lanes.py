@@ -211,16 +211,27 @@ _MAX_ROW_ELEMS = 8192
 def _row_block(n: int, s: int, batch: int) -> int:
     """Rows of 128 lanes per grid step under the VMEM budget (0 = doesn't
     fit even one row; callers fall back to the scan path).  Among the fits,
-    picks the largest block that minimizes row padding for ``batch``."""
+    picks the largest block that minimizes row padding for ``batch``.
+
+    MULTI-grid-step configurations get HALF the budget: Pallas
+    double-buffers the (large) covariance outputs across grid steps, and
+    the long-misattributed "N>=256 dies in the remote compile helper"
+    failures were exactly this — scoped-vmem stack OOMs at 16.3M vs the
+    16M limit for [rb=2, grid=3, N=256] and [rb=1, grid=6, N=512] trial
+    batches (the 8192 budget was calibrated on single-grid shapes, where
+    no double-buffering happens)."""
     per_row = n * s * s
-    if per_row > _MAX_ROW_ELEMS:
-        return 0
-    cap = min(8, _MAX_ROW_ELEMS // per_row)
     rows = -(-batch // LANE)
-    return min(
-        range(1, cap + 1),
-        key=lambda rb: (-(-rows // rb) * rb, -rb),
-    )
+
+    def fits(rb: int) -> bool:
+        grid = -(-rows // rb)
+        budget = _MAX_ROW_ELEMS if grid == 1 else _MAX_ROW_ELEMS // 2
+        return per_row * rb <= budget
+
+    cands = [rb for rb in range(1, 9) if fits(rb)]
+    if not cands:
+        return 0
+    return min(cands, key=lambda rb: (-(-rows // rb) * rb, -rb))
 
 
 def _pack(x, grid, rb):

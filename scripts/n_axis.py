@@ -103,6 +103,7 @@ def main():
     ap.add_argument("--ns", default="32,128,256,512")
     ap.add_argument("--b", type=int, default=64)
     ap.add_argument("--fused", default="auto")
+    ap.add_argument("--linesearch", default="batched")
     ap.add_argument("--modes", default="full,split")
     args = ap.parse_args()
 
@@ -119,6 +120,7 @@ def main():
         config = GVIConfig(
             niters=10, niters_lowtemp=10, step_size_base=0.9,
             chain_impl="lanes", fused_trials=args.fused,
+            linesearch=args.linesearch,
         )
         print(f"N={n} B={b}:", flush=True)
         graph_b, state_b = build_batch(b, n, 2, 4)

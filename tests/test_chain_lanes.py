@@ -103,7 +103,9 @@ class TestVMEMChunking:
         from gaussianvi_tpu.kernels import chain_lanes
 
         # shrink the budget so B=300 (3 rows of 128) needs 3 grid steps
-        monkeypatch.setattr(chain_lanes, "_MAX_ROW_ELEMS", 6 * 4 * 4)
+        # (multi-grid configurations get HALF the budget for output
+        # double-buffering, hence the factor 2)
+        monkeypatch.setattr(chain_lanes, "_MAX_ROW_ELEMS", 2 * 6 * 4 * 4)
         assert chain_lanes._row_block(6, 4, 300) == 1
         diag, off, rhs = self._problem(300, 6, 4)
         cd, co, ld = chain_lanes.gbp_covariance_logdet_lanes(
