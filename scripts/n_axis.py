@@ -1,9 +1,10 @@
 """N-axis scaling of the full NGD optimizer (VERDICT r2 item 5).
 
-Round 1/2 could not measure N >= 512 end-to-end: the sandbox's remote
-compile helper 500s on large WHOLE programs even though every kernel
-compiles standalone at those shapes (PERF.md N-axis notes).  This script
-measures each (B, N) point two ways:
+Rounds 1/2 could not measure N >= 256 end-to-end and blamed the sandbox
+compile helper; capturing the helper's full error traced it to the chain
+kernel's scoped-vmem budget instead (fixed in kernels/chain_lanes.py
+_row_block — multi-grid configurations double-buffer outputs).  This
+script measures each (B, N) point two ways:
 
 * ``full``  — one jitted program for the whole 10-iteration run (the
   production form; bench.py's shape);
