@@ -262,6 +262,33 @@ def gbp_covariance_logdet_lanes(
     b, n, s, _ = diag.shape
     rb = _row_block(n, s, b)
     if rb == 0:
+        if n * s * s <= _MAX_ROW_ELEMS:
+            # the shape fits a SINGLE-grid one-row call but not the halved
+            # multi-grid budget (e.g. N=512 s=4 trial batches): run the
+            # batch as sequential 128-lane chunks, each its own
+            # single-grid kernel call — one compiled instance, no output
+            # double-buffering, ~an order of magnitude faster than the
+            # scan fallback at N=512
+            pad = (-b) % LANE
+            if pad:
+                eye = jnp.broadcast_to(
+                    jnp.eye(s, dtype=diag.dtype), (pad, n, s, s)
+                )
+                diag = jnp.concatenate([diag, eye])
+                off = jnp.concatenate(
+                    [off, jnp.zeros((pad, max(n - 1, 0), s, s), off.dtype)]
+                )
+            c = (b + pad) // LANE
+            cd, co, ld = jax.lax.map(
+                lambda t: gbp_covariance_logdet_lanes(t[0], t[1], interpret),
+                (diag.reshape((c, LANE) + diag.shape[1:]),
+                 off.reshape((c, LANE) + off.shape[1:])),
+            )
+            return (
+                cd.reshape((c * LANE,) + cd.shape[2:])[:b],
+                co.reshape((c * LANE,) + co.shape[2:])[:b],
+                ld.reshape(c * LANE)[:b],
+            )
         # chain too long for the VMEM budget: scan path (still batched)
         from ..ops.blocktridiag import BlockTridiag, gbp_covariance_logdet
 
@@ -403,6 +430,27 @@ def solve_lanes(
     bsz, n, s, _ = diag.shape
     rb = _row_block(n, s, bsz)
     if rb == 0:
+        if n * s * s <= _MAX_ROW_ELEMS:
+            # sequential 128-lane single-grid chunks (see the covariance
+            # wrapper above)
+            pad = (-bsz) % LANE
+            if pad:
+                eye = jnp.broadcast_to(
+                    jnp.eye(s, dtype=diag.dtype), (pad, n, s, s)
+                )
+                diag = jnp.concatenate([diag, eye])
+                off = jnp.concatenate(
+                    [off, jnp.zeros((pad, max(n - 1, 0), s, s), off.dtype)]
+                )
+                b = jnp.concatenate([b, jnp.zeros((pad, n, s), b.dtype)])
+            c = (bsz + pad) // LANE
+            x = jax.lax.map(
+                lambda t: solve_lanes(t[0], t[1], t[2], interpret),
+                (diag.reshape((c, LANE) + diag.shape[1:]),
+                 off.reshape((c, LANE) + off.shape[1:]),
+                 b.reshape((c, LANE) + b.shape[1:])),
+            )
+            return x.reshape((c * LANE,) + x.shape[2:])[:bsz]
         from ..ops.blocktridiag import BlockTridiag, solve as solve_scan
 
         return jax.vmap(

@@ -117,6 +117,26 @@ class TestVMEMChunking:
         np.testing.assert_allclose(ld, rld, rtol=1e-5)
         np.testing.assert_allclose(x, rx, rtol=1e-4, atol=1e-6)
 
+    def test_chunked_single_grid_mode(self, monkeypatch):
+        """per_row fits a single-grid call but not the halved multi-grid
+        budget: the wrapper must run sequential 128-lane chunks (the
+        N=512 trial-batch configuration), not the scan fallback."""
+        from gaussianvi_tpu.kernels import chain_lanes
+
+        monkeypatch.setattr(chain_lanes, "_MAX_ROW_ELEMS", 6 * 4 * 4)
+        assert chain_lanes._row_block(6, 4, 300) == 0  # multi-grid: over
+        assert chain_lanes._row_block(6, 4, 100) == 1  # single chunk: fits
+        diag, off, rhs = self._problem(300, 6, 4, seed=2)
+        cd, co, ld = chain_lanes.gbp_covariance_logdet_lanes(
+            diag, off, interpret=True
+        )
+        x = chain_lanes.solve_lanes(diag, off, rhs, interpret=True)
+        (rcd, rco, rld), rx = self._reference(diag, off, rhs)
+        np.testing.assert_allclose(cd, rcd, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(co, rco, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(ld, rld, rtol=1e-5)
+        np.testing.assert_allclose(x, rx, rtol=1e-4, atol=1e-6)
+
     def test_scan_fallback_when_chain_too_long(self, monkeypatch):
         from gaussianvi_tpu.kernels import chain_lanes
 
