@@ -173,6 +173,13 @@ def _layout_trials(n, s, n_trials, nl_specs, lin_specs,
     if per_row > _MAX_ROW_ELEMS_TRIALS:
         return 0, 0
     cap = min(8, _MAX_ROW_ELEMS_TRIALS // per_row)
+    if cap < 2:
+        # a single-row budget leaves the kernel width-starved: at cap=1
+        # neither extra trials nor extra batch rows can share a grid step
+        # (max 128 lanes of work per sequential trial step) — measured
+        # 1.8x SLOWER than the separate kernels at N=128/B=64; decline so
+        # the dispatch keeps the separate path
+        return 0, 0
     rows = -(-batch // LANE)
     if rows >= cap:
         # batch fills the budget: pick the row block minimizing padded rows
