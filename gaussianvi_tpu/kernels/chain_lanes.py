@@ -84,6 +84,40 @@ def _logdet_from_chol(l, s):
     return 2.0 * acc
 
 
+def _pivot_trust(l, piv_l, d_l, m_l, s, trust):
+    """Update the running minimum pivot-trust statistic.
+
+    For each diagonal j of the Schur pivot ``piv = d + m`` with Cholesky
+    ``l``:  numer = L_jj^2 (the surviving pivot mass) against
+    denom = |d_jj| + |m_jj| + |piv_jj - L_jj^2| (the total magnitude of
+    everything that cancelled to produce it — the message subtraction AND
+    the in-factorization sum of squares, using piv - L_jj^2 = sum_k
+    L_jk^2).  When numer/denom falls to a few eps the computed pivot is
+    pure rounding noise: the matrix has lost positive-definiteness at
+    working precision and the logdet is garbage (the PERF.md section-14
+    accept-collapse class: f32 chol of a near-indefinite trial produced
+    tiny-positive pivots and a hugely negative "cost decrease").  Callers
+    poison the logdet with NaN below the threshold so such trials are
+    REJECTED, exactly as the reference's f64 backtracking rejects non-SPD
+    proposals via NaN costs (gvibase/GVI-GH-impl.h:79-118).
+    """
+    for j in range(s):
+        numer = l[j][j] * l[j][j]
+        denom = (
+            jnp.abs(d_l[j][j]) + jnp.abs(m_l[j][j])
+            + jnp.abs(piv_l[j][j] - numer)
+        )
+        trust = jnp.minimum(trust, numer / denom)
+    return trust
+
+
+def _trust_tol(dtype) -> float:
+    # 8 eps: trips only when fewer than ~3 significant bits survive the
+    # cancellation — pure-noise pivots — while legitimate ill-conditioning
+    # (local condition up to ~1/(8 eps)) passes through untouched
+    return 8.0 * float(jnp.finfo(dtype).eps)
+
+
 def _listify(arr, s):
     """[s, s, R, 128] traced array -> list-of-lists of [R, 128] tiles."""
     return [[arr[a, b] for b in range(s)] for a in range(s)]
@@ -103,13 +137,24 @@ def _gbp_kernel(n, s, d_ref, o_ref, covd_ref, covo_ref, ld_ref,
     refs do not."""
     zero = jnp.zeros_like(d_ref[0, 0, 0, 0])
     zeros_m = jnp.zeros_like(d_ref[0, 0])
+    tol = _trust_tol(d_ref.dtype)
 
     def fwd_body(i, carry):
-        m_arr, ld = carry
+        # (message, logdet, Kahan compensation, min pivot trust): the
+        # logdet feeds line-search accept decisions, so it is accumulated
+        # compensated and poisoned with NaN when any pivot cancels to
+        # rounding noise (see _pivot_trust)
+        m_arr, ld, comp, trust = carry
+        d_l = _listify(d_ref[0, i], s)
+        m_l = _listify(m_arr, s)
         piv_l = _listify(d_ref[0, i] + m_arr, s)
         fpiv_ref[i] = _stack(piv_l, s)
         l = _chol(piv_l, s)
-        ld = ld + _logdet_from_chol(l, s)
+        trust = _pivot_trust(l, piv_l, d_l, m_l, s, trust)
+        term = _logdet_from_chol(l, s) - comp
+        ld_new = ld + term
+        comp = (ld_new - ld) - term
+        ld = ld_new
         off = _listify(o_ref[0, jnp.minimum(i, n - 2)], s)
         x = [[None] * s for _ in range(s)]
         for col in range(s):
@@ -120,15 +165,20 @@ def _gbp_kernel(n, s, d_ref, o_ref, covd_ref, covo_ref, ld_ref,
         m_next = _stack([[-btx[a][b] for b in range(s)]
                          for a in range(s)], s)
         keep = i < n - 1
-        return (jnp.where(keep, m_next, m_arr), ld)
+        return (jnp.where(keep, m_next, m_arr), ld, comp, trust)
 
     if n > 1:
-        _, ld = jax.lax.fori_loop(0, n, fwd_body, (zeros_m, zero))
+        _, ld, _, trust = jax.lax.fori_loop(
+            0, n, fwd_body, (zeros_m, zero, zero, jnp.ones_like(zero))
+        )
     else:
         piv_l = _listify(d_ref[0, 0], s)
         fpiv_ref[0] = d_ref[0, 0]
-        ld = _logdet_from_chol(_chol(piv_l, s), s)
-    ld_ref[0] = ld
+        l = _chol(piv_l, s)
+        zl = [[zero] * s for _ in range(s)]
+        trust = _pivot_trust(l, piv_l, piv_l, zl, s, jnp.ones_like(zero))
+        ld = _logdet_from_chol(l, s)
+    ld_ref[0] = jnp.where(trust >= tol, ld, jnp.full_like(ld, jnp.nan))
 
     def bwd_body(k, m_arr):
         i = n - 1 - k
@@ -200,6 +250,18 @@ def _gbp_kernel(n, s, d_ref, o_ref, covd_ref, covo_ref, ld_ref,
         covd_ref[0, 0] = _stack(inv, s)
 
 
+def _sds(shape, dtype, like):
+    """ShapeDtypeStruct carrying the vma (varying-manual-axes) type of
+    operand ``like``: under ``shard_map(check_vma=True)`` pallas_call
+    requires its out_shapes to declare how outputs vary over the mesh —
+    they vary exactly like the packed operands.  Outside shard_map
+    ``vma`` is empty and this is a plain ShapeDtypeStruct."""
+    vma = getattr(jax.typeof(like), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 LANE = 128
 # VMEM sizing: each grid step holds ~6 [N, s, s, RB, 128] f32 arrays
 # (2 in, 2 out, 2 scratch).  N * s^2 * RB <= 8192 keeps that under the
@@ -262,14 +324,20 @@ def gbp_covariance_logdet_lanes(
     b, n, s, _ = diag.shape
     rb = _row_block(n, s, b)
     if rb == 0:
-        if n * s * s <= _MAX_ROW_ELEMS:
-            # the shape fits a SINGLE-grid one-row call but not the halved
+        per_row = n * s * s
+        if per_row <= _MAX_ROW_ELEMS:
+            # the shape fits a SINGLE-grid call but not the halved
             # multi-grid budget (e.g. N=512 s=4 trial batches): run the
-            # batch as sequential 128-lane chunks, each its own
-            # single-grid kernel call — one compiled instance, no output
-            # double-buffering, ~an order of magnitude faster than the
-            # scan fallback at N=512
-            pad = (-b) % LANE
+            # batch as sequential chunks, each its own single-grid kernel
+            # call — one compiled instance, no output double-buffering,
+            # ~an order of magnitude faster than the scan fallback at
+            # N=512.  Each chunk carries as many sublane rows as the FULL
+            # (single-grid) budget allows, not just one (given the current
+            # budgets per_row > _MAX_ROW_ELEMS//2 here so this is 1, but
+            # the chunk width tracks the budget relation).
+            rpc = min(8, _MAX_ROW_ELEMS // per_row)
+            chunk = rpc * LANE
+            pad = (-b) % chunk
             if pad:
                 eye = jnp.broadcast_to(
                     jnp.eye(s, dtype=diag.dtype), (pad, n, s, s)
@@ -278,16 +346,16 @@ def gbp_covariance_logdet_lanes(
                 off = jnp.concatenate(
                     [off, jnp.zeros((pad, max(n - 1, 0), s, s), off.dtype)]
                 )
-            c = (b + pad) // LANE
+            c = (b + pad) // chunk
             cd, co, ld = jax.lax.map(
                 lambda t: gbp_covariance_logdet_lanes(t[0], t[1], interpret),
-                (diag.reshape((c, LANE) + diag.shape[1:]),
-                 off.reshape((c, LANE) + off.shape[1:])),
+                (diag.reshape((c, chunk) + diag.shape[1:]),
+                 off.reshape((c, chunk) + off.shape[1:])),
             )
             return (
-                cd.reshape((c * LANE,) + cd.shape[2:])[:b],
-                co.reshape((c * LANE,) + co.shape[2:])[:b],
-                ld.reshape(c * LANE)[:b],
+                cd.reshape((c * chunk,) + cd.shape[2:])[:b],
+                co.reshape((c * chunk,) + co.shape[2:])[:b],
+                ld.reshape(c * chunk)[:b],
             )
         # chain too long for the VMEM budget: scan path (still batched)
         from ..ops.blocktridiag import BlockTridiag, gbp_covariance_logdet
@@ -328,9 +396,9 @@ def gbp_covariance_logdet_lanes(
             pl.BlockSpec((1, rb, LANE), lambda g: (g, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((grid, n, s, s, rb, LANE), diag.dtype),
-            jax.ShapeDtypeStruct((grid, no, s, s, rb, LANE), diag.dtype),
-            jax.ShapeDtypeStruct((grid, rb, LANE), diag.dtype),
+            _sds((grid, n, s, s, rb, LANE), diag.dtype, d_l),
+            _sds((grid, no, s, s, rb, LANE), diag.dtype, d_l),
+            _sds((grid, rb, LANE), diag.dtype, d_l),
         ],
         scratch_shapes=[
             pltpu.VMEM((n, s, s, rb, LANE), diag.dtype),
@@ -430,10 +498,13 @@ def solve_lanes(
     bsz, n, s, _ = diag.shape
     rb = _row_block(n, s, bsz)
     if rb == 0:
-        if n * s * s <= _MAX_ROW_ELEMS:
-            # sequential 128-lane single-grid chunks (see the covariance
-            # wrapper above)
-            pad = (-bsz) % LANE
+        per_row = n * s * s
+        if per_row <= _MAX_ROW_ELEMS:
+            # sequential single-grid chunks, widest row block the full
+            # budget allows (see the covariance wrapper above)
+            rpc = min(8, _MAX_ROW_ELEMS // per_row)
+            chunk = rpc * LANE
+            pad = (-bsz) % chunk
             if pad:
                 eye = jnp.broadcast_to(
                     jnp.eye(s, dtype=diag.dtype), (pad, n, s, s)
@@ -443,14 +514,14 @@ def solve_lanes(
                     [off, jnp.zeros((pad, max(n - 1, 0), s, s), off.dtype)]
                 )
                 b = jnp.concatenate([b, jnp.zeros((pad, n, s), b.dtype)])
-            c = (bsz + pad) // LANE
+            c = (bsz + pad) // chunk
             x = jax.lax.map(
                 lambda t: solve_lanes(t[0], t[1], t[2], interpret),
-                (diag.reshape((c, LANE) + diag.shape[1:]),
-                 off.reshape((c, LANE) + off.shape[1:]),
-                 b.reshape((c, LANE) + b.shape[1:])),
+                (diag.reshape((c, chunk) + diag.shape[1:]),
+                 off.reshape((c, chunk) + off.shape[1:]),
+                 b.reshape((c, chunk) + b.shape[1:])),
             )
-            return x.reshape((c * LANE,) + x.shape[2:])[:bsz]
+            return x.reshape((c * chunk,) + x.shape[2:])[:bsz]
         from ..ops.blocktridiag import BlockTridiag, solve as solve_scan
 
         return jax.vmap(
@@ -487,7 +558,7 @@ def solve_lanes(
             pl.BlockSpec((1, n, s, rb, LANE), lambda g: (g, 0, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, n, s, rb, LANE), lambda g: (g, 0, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((grid, n, s, rb, LANE), diag.dtype),
+        out_shape=_sds((grid, n, s, rb, LANE), diag.dtype, d_l),
         scratch_shapes=[
             pltpu.VMEM((n, s, s, rb, LANE), diag.dtype),
             pltpu.VMEM((n, s, rb, LANE), diag.dtype),

@@ -68,7 +68,10 @@ from .chain_lanes import (
     _listify,
     _logdet_from_chol,
     _pack,
+    _pivot_trust,
+    _sds,
     _stack,
+    _trust_tol,
 )
 from .quad_lanes import _M_CHUNK
 
@@ -284,12 +287,24 @@ def _trials_kernel(n, s, nl_specs, lin_specs, eval_dtype,
         return _listify(o, s)
 
     # ---- forward sweep: pivots + logdet -----------------------------------
+    # logdet is accumulated Kahan-compensated and poisoned with NaN when a
+    # pivot cancels to rounding noise (chain_lanes._pivot_trust): a
+    # noise-pivot trial's "cost decrease" is garbage and must be REJECTED,
+    # not accepted (the PERF section-14 collapse class)
+    tol = _trust_tol(mu_ref.dtype)
+
     def fwd_body(i, carry):
-        m_arr, ld = carry
-        piv_l = _listify(_stack(trial_diag(i), s) + m_arr, s)
+        m_arr, ld, comp, trust = carry
+        d_l = trial_diag(i)
+        m_l = _listify(m_arr, s)
+        piv_l = _listify(_stack(d_l, s) + m_arr, s)
         fpiv_ref[i] = _stack(piv_l, s)
         l = _chol(piv_l, s)
-        ld = ld + _logdet_from_chol(l, s)
+        trust = _pivot_trust(l, piv_l, d_l, m_l, s, trust)
+        term = _logdet_from_chol(l, s) - comp
+        ld_new = ld + term
+        comp = (ld_new - ld) - term
+        ld = ld_new
         off = trial_off(jnp.minimum(i, n - 2))
         x = [[None] * s for _ in range(s)]
         for col in range(s):
@@ -301,14 +316,16 @@ def _trials_kernel(n, s, nl_specs, lin_specs, eval_dtype,
             for b_ in range(s):
                 acc = None
                 for r in range(s):
-                    term = off[r][a_] * x[r][b_]
-                    acc = term if acc is None else acc + term
+                    term2 = off[r][a_] * x[r][b_]
+                    acc = term2 if acc is None else acc + term2
                 btx[a_][b_] = -acc
         keep = i < n - 1
-        return (jnp.where(keep, _stack(btx, s), m_arr), ld)
+        return (jnp.where(keep, _stack(btx, s), m_arr), ld, comp, trust)
 
-    _, ld = jax.lax.fori_loop(0, n, fwd_body, (zeros_m, zero))
-    ld_ref[0, 0] = ld
+    _, ld, _, trust = jax.lax.fori_loop(
+        0, n, fwd_body, (zeros_m, zero, zero, jnp.ones_like(zero))
+    )
+    ld_ref[0, 0] = jnp.where(trust >= tol, ld, jnp.full_like(ld, jnp.nan))
 
     # ---- factor evaluation helpers ---------------------------------------
     def quad_factor(sp, refs, k, mu_c, cov_l):
@@ -642,16 +659,16 @@ def trial_costs_lanes(
             (1, 1) + shape, lambda g, t, nd=nd: (g, t) + (0,) * nd
         )
 
-    out_shapes = [jax.ShapeDtypeStruct((grid_b, n_tg, rb, LANE), mu.dtype)]
+    out_shapes = [_sds((grid_b, n_tg, rb, LANE), mu.dtype, mu_l)]
     out_specs = [out_spec((rb, LANE))]
     for sp in nl_specs:
         out_shapes.append(
-            jax.ShapeDtypeStruct((grid_b, n_tg, sp.k, rb, LANE), mu.dtype)
+            _sds((grid_b, n_tg, sp.k, rb, LANE), mu.dtype, mu_l)
         )
         out_specs.append(out_spec((sp.k, rb, LANE)))
     for sp in lin_specs:
         out_shapes.append(
-            jax.ShapeDtypeStruct((grid_b, n_tg, sp.k, rb, LANE), mu.dtype)
+            _sds((grid_b, n_tg, sp.k, rb, LANE), mu.dtype, mu_l)
         )
         out_specs.append(out_spec((sp.k, rb, LANE)))
 

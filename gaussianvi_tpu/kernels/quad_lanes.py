@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .chain_lanes import LANE, _chol, _listify, _pack, _unpack
+from .chain_lanes import LANE, _chol, _listify, _pack, _sds, _unpack
 
 # VMEM budget (empirical, f32/v5e): elements per 128-lane row held live in
 # one grid step — marginals in, moment outputs, and the (d+2) [M, *] sigma
@@ -249,12 +249,12 @@ def quad_lanes(
         nd = len(shape)
         return pl.BlockSpec((1,) + shape, lambda g, nd=nd: (0,) * (nd + 1))
 
-    out_shapes = [jax.ShapeDtypeStruct((grid, k, rb, LANE), mu.dtype)]
+    out_shapes = [_sds((grid, k, rb, LANE), mu.dtype, mu_l)]
     out_specs = [spec((k, rb, LANE))]
     if with_moments:
         out_shapes += [
-            jax.ShapeDtypeStruct((grid, k, d, rb, LANE), mu.dtype),
-            jax.ShapeDtypeStruct((grid, k, d, d, rb, LANE), mu.dtype),
+            _sds((grid, k, d, rb, LANE), mu.dtype, mu_l),
+            _sds((grid, k, d, d, rb, LANE), mu.dtype, mu_l),
         ]
         out_specs += [spec((k, d, rb, LANE)), spec((k, d, d, rb, LANE))]
 
@@ -334,6 +334,14 @@ def quad_lanes_vmappable(nodes, weights, mu, cov, lanes_cost, params=(),
             cov_b.reshape(b2 * b, k, d, d),
             *[p.reshape((b2 * b,) + p.shape[2:]) for p in params_b],
         )
+        if out is None:
+            # same eligibility-desync diagnostic as the unbatched call
+            # below: a None flowing into jax.tree.map here would surface
+            # as an obscure custom-batching error instead
+            raise ValueError(
+                "quad_lanes rejected a shape quad_fits_lanes accepted — "
+                "eligibility accounting out of sync"
+            )
         out = jax.tree.map(
             lambda y: y.reshape((b2, b) + y.shape[1:]), out
         )

@@ -272,6 +272,35 @@ def gbp_covariance(A: BlockTridiag) -> tuple[jnp.ndarray, jnp.ndarray]:
     return cov_diag, cov_off
 
 
+def _guarded_logdet(pivots, diag, msgs):
+    """Summed pivot logdet, NaN-poisoned when any Cholesky pivot has
+    cancelled to rounding noise.
+
+    trust_j = L_jj^2 / (|d_jj| + |m_jj| + sum_k L_jk^2): the surviving
+    pivot mass against everything that cancelled to produce it (using
+    sum_k L_jk^2 = piv_jj - L_jj^2).  Below ~8 eps the matrix has lost
+    positive-definiteness at working precision and the "logdet" is
+    garbage — returning NaN makes line searches REJECT such trials, the
+    behavior the reference gets for free from f64 chol of indefinite
+    proposals (PERF.md section 14: f32 tiny-noise pivots instead produced
+    hugely negative accepted "costs").  Mirrors the lanes kernels'
+    in-kernel guard (kernels/chain_lanes._pivot_trust).
+    """
+    l = chol_small(pivots)
+    ldiag = jnp.diagonal(l, axis1=-2, axis2=-1)
+    numer = ldiag * ldiag
+    pdiag = jnp.diagonal(pivots, axis1=-2, axis2=-1)
+    denom = (
+        jnp.abs(jnp.diagonal(diag, axis1=-2, axis2=-1))
+        + jnp.abs(jnp.diagonal(msgs, axis1=-2, axis2=-1))
+        + jnp.abs(pdiag - numer)
+    )
+    trust = jnp.min(numer / denom)
+    tol = 8.0 * jnp.finfo(pivots.dtype).eps
+    ld = 2.0 * jnp.sum(jnp.log(ldiag))
+    return jnp.where(trust >= tol, ld, jnp.full_like(ld, jnp.nan))
+
+
 def gbp_covariance_logdet(
     A: BlockTridiag,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -281,10 +310,13 @@ def gbp_covariance_logdet(
     pivots (same Schur recurrence), so log det = sum log det(D_i + f_i) —
     the cost path gets the entropy term without a second factorization
     sweep (the reference runs the LDLT separately, GVI-GH-impl.h:192-196).
+    The logdet is NaN-poisoned for noise-level pivots (_guarded_logdet).
     """
     n, s = A.num_states, A.block_dim
     if n == 1:
-        ld = logdet_spd_small(A.diag[0])
+        ld = _guarded_logdet(
+            A.diag[0:1], A.diag[0:1], jnp.zeros_like(A.diag[0:1])
+        )
         return spd_inv(A.diag[0])[None], A.off, ld
 
     def fwd_step(m, inputs):
@@ -297,7 +329,7 @@ def gbp_covariance_logdet(
     fwd_msgs = jnp.concatenate([f_head, f_last[None]], axis=0)
 
     pivots = A.diag + fwd_msgs
-    ld = jnp.sum(logdet_spd_small(pivots))
+    ld = _guarded_logdet(pivots, A.diag, fwd_msgs)
 
     def bwd_step(m, inputs):
         d, b_off = inputs
