@@ -70,6 +70,17 @@ class GVIConfig:
     # "off" forces the separate-kernel path (A/B hook); "on" asserts
     # eligibility.
     fused_trials: str = "auto"
+    # fused NGD gradient step (kernels/fused_gradient.py): ONE Pallas
+    # program computes the iterate's covariance, the sigma-point moment
+    # quadrature, the joint (Vdmu, Vddmu) assembly, dprec, and BOTH
+    # natural-gradient block-Thomas solves — removing the residual width-B
+    # pack/unpack copies around the gradient phases (measured 16% of the
+    # B=1024 iteration after round 3) and the fused-trials path's separate
+    # accepted-iterate chain call.  Same eligibility rules and operand prep
+    # as fused_trials (minus the batched-linesearch requirement); NGD only.
+    # "auto" = on when eligible; "off" forces the separate kernels (A/B
+    # hook); "on" asserts eligibility.
+    fused_gradient: str = "auto"
     # quantize the sigma-point OFFSETS (x - mu) to this dtype before
     # evaluating phi ("bfloat16" / "float16"; None = full precision) —
     # compresses the [K, M, d] sigma-offset tensor, the hot loop's largest

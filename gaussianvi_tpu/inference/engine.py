@@ -63,9 +63,10 @@ class LocalEngine:
 
     # mesh axes over which loop-carried scalars become varying (none here)
     carry_axes: tuple[str, ...] = ()
-    # the eval_dtype the fused trial kernel was built with (run_gvi only
-    # takes the fused path when its eval_dtype matches)
+    # the eval_dtype the fused trial/gradient kernels were built with
+    # (run_gvi only takes a fused path when its eval_dtype matches)
     fused_eval_dtype = None
+    fused_grad_eval_dtype = None
 
     def __init__(self, graph: FactorGraph, config, use_pallas=None,
                  quad_impl=None):
@@ -86,8 +87,13 @@ class LocalEngine:
             quad_impl = "lanes" if chain == "lanes" else "xla"
         self.quad_impl = quad_impl
         self._cov_fn, self._solve_fn = _chain_ops(config, graph.num_states)
+        self._fused_spec_cache = None
+        if quad_impl == "lanes" and (
+            config.fused_trials != "off" or config.fused_gradient != "off"
+        ):
+            self._fused_spec_cache = self._build_fused_specs(config)
         self._fused_trials = None
-        if config.fused_trials != "off" and quad_impl == "lanes":
+        if config.fused_trials != "off":
             self._fused_trials = self._build_fused_trials(config)
         if config.fused_trials == "on" and self._fused_trials is None:
             raise ValueError(
@@ -97,40 +103,46 @@ class LocalEngine:
                 "bfloat16, and "
                 "a shape within the kernel's VMEM budget)"
             )
+        self._fused_gradient = None
+        if config.fused_gradient != "off":
+            self._fused_gradient = self._build_fused_gradient(config)
+        if config.fused_gradient == "on" and self._fused_gradient is None:
+            raise ValueError(
+                "fused_gradient='on' but the graph/config is not eligible "
+                "(needs lanes quad, lanes_cost on every nonlinear batch "
+                "with nb == 1 and no lanes_prep, nb<=2 linear batches, "
+                "eval_dtype None or bfloat16, and a shape within the "
+                "kernel's VMEM budget)"
+            )
 
-    def _build_fused_trials(self, config):
-        """Static eligibility + operand prep for the fused line-search trial
-        kernel (:mod:`..kernels.fused_trials`); None when ineligible."""
+    def _build_fused_specs(self, config):
+        """Shared static eligibility + operand prep for the fused trial AND
+        gradient kernels (they consume the SAME flat operand tuple:
+        quadrature rules + linear residual forms).  Returns
+        (nl_specs, lin_specs, flat, eval_dtype) or None when ineligible."""
         from ..kernels.fused_trials import (
             LinTrialSpec,
             NLTrialSpec,
             linear_residual_form,
-            make_trial_costs_vmappable,
-            trials_fit_lanes,
         )
 
         g, cfg = self.graph, config
-        n, s = g.num_states, g.state_dim
-        if cfg.linesearch != "batched":
-            return None
+        s = g.state_dim
         # centered bf16 offset quantization composes (quantized in-kernel);
         # fp16 has no native TPU cast and keeps the separate-kernel path
-        self.fused_eval_dtype = (
+        eval_dtype = (
             jnp.dtype(cfg.moments_eval_dtype)
             if cfg.moments_eval_dtype else None
         )
-        if self.fused_eval_dtype is not None and (
-            self.fused_eval_dtype != jnp.dtype(jnp.bfloat16)
-        ):
+        if eval_dtype is not None and eval_dtype != jnp.dtype(jnp.bfloat16):
             return None
-        n_trials = cfg.niters_backtrack + 1
         nl_specs, lin_specs, flat = [], [], []
         for fb in g.nonlinear:
             if fb.lanes_cost is None or fb.nb != 1:
                 return None
             if fb.lanes_prep is not None:
                 # marginal-dependent params (SDF patches) can't be formed
-                # inside the fused kernel's in-kernel trial loop
+                # inside the fused kernels' in-kernel evaluation loops
                 return None
             if fb.slice_offset is None and not fb.shared_start:
                 return None
@@ -172,19 +184,62 @@ class LocalEngine:
             if lb.slice_offset is None:
                 flat.append(lb.start)
             flat += [a, lam_r, pm, prec_c]
-        nl_specs, lin_specs = tuple(nl_specs), tuple(lin_specs)
+        return tuple(nl_specs), tuple(lin_specs), tuple(flat), eval_dtype
+
+    def _build_fused_trials(self, config):
+        """Static eligibility + operand prep for the fused line-search trial
+        kernel (:mod:`..kernels.fused_trials`); None when ineligible."""
+        from ..kernels.fused_trials import (
+            make_trial_costs_vmappable,
+            trials_fit_lanes,
+        )
+
+        if config.linesearch != "batched":
+            return None
+        if self._fused_spec_cache is None:
+            return None
+        nl_specs, lin_specs, flat, eval_dtype = self._fused_spec_cache
+        g = self.graph
+        n, s = g.num_states, g.state_dim
+        n_trials = config.niters_backtrack + 1
         if not trials_fit_lanes(n, s, n_trials, nl_specs, lin_specs):
             return None
         self._fused_specs = (nl_specs, lin_specs)  # introspection/probing
         fn = make_trial_costs_vmappable(
-            n, s, n_trials, nl_specs, lin_specs,
-            eval_dtype=self.fused_eval_dtype,
+            n, s, n_trials, nl_specs, lin_specs, eval_dtype=eval_dtype,
         )
-        return fn, tuple(flat)
+        self.fused_eval_dtype = eval_dtype
+        return fn, flat
+
+    def _build_fused_gradient(self, config):
+        """Static eligibility + operand prep for the fused gradient kernel
+        (:mod:`..kernels.fused_gradient`); None when ineligible.  Shares
+        the trial kernel's operand tuple."""
+        from ..kernels.fused_gradient import (
+            grad_fits_lanes,
+            make_gradient_vmappable,
+        )
+
+        if self._fused_spec_cache is None:
+            return None
+        nl_specs, lin_specs, flat, eval_dtype = self._fused_spec_cache
+        g = self.graph
+        n, s = g.num_states, g.state_dim
+        if not grad_fits_lanes(n, s, nl_specs, lin_specs):
+            return None
+        fn = make_gradient_vmappable(
+            n, s, nl_specs, lin_specs, eval_dtype=eval_dtype,
+        )
+        self.fused_grad_eval_dtype = eval_dtype
+        return fn, flat
 
     @property
     def fused_trials_ready(self) -> bool:
         return self._fused_trials is not None
+
+    @property
+    def fused_gradient_ready(self) -> bool:
+        return self._fused_gradient is not None
 
     def fused_trial_costs(self, state, dmu, dprec, trials):
         """All line-search trials in one kernel: returns
@@ -196,6 +251,18 @@ class LocalEngine:
             dprec.diag, dprec.off, trials, *flat,
         )
         return ld, fc_nl + fc_lin
+
+    def fused_gradient(self, state, temperature):
+        """The whole NGD gradient step in one kernel: covariance of the
+        CURRENT iterate, joint (Vdmu, Vddmu) assembly, and both
+        natural-gradient solves.  Returns (cov_diag, cov_off, logdet,
+        dprec BlockTridiag, dmu, dmu_fallback)."""
+        fn, flat = self._fused_gradient
+        covd, covo, ld, dpd, dpo, dmu, dfb = fn(
+            state.mu, state.precision.diag, state.precision.off,
+            temperature, *flat,
+        )
+        return covd, covo, ld, BlockTridiag(dpd, dpo), dmu, dfb
 
     # -- chain ---------------------------------------------------------------
     def cov_logdet(self, prec: BlockTridiag):

@@ -145,6 +145,16 @@ def make_gvi_step(engine, config: GVIConfig, method: str = "ngd"):
         and getattr(engine, "fused_trials_ready", False)
         and eval_dtype == getattr(engine, "fused_eval_dtype", None)
     )
+    # fused gradient path (kernels/fused_gradient.py): covariance + moments
+    # + NGD assembly + both Thomas solves in one kernel.  It recomputes the
+    # iterate's covariance in-kernel, so the carried blocks are bypassed
+    # (rebound below) and — combined with fused trials — the accepted
+    # iterate needs NO separate chain call at all.
+    use_fused_grad = (
+        method == "ngd"
+        and getattr(engine, "fused_gradient_ready", False)
+        and eval_dtype == getattr(engine, "fused_grad_eval_dtype", None)
+    )
 
     def temper(fc_raw, temperature):
         # elementwise division exactly as the cost path applies it, so the
@@ -172,7 +182,22 @@ def make_gvi_step(engine, config: GVIConfig, method: str = "ngd"):
         fc_iter = temper(fc_raw, temperature)
         cost_iter = engine.reduce_fc(fc_iter) + 0.5 * logdet
 
-        if method == "ngd":
+        if method == "ngd" and use_fused_grad:
+            # one kernel: covariance of the current iterate (rebinding the
+            # carried blocks — same values, recomputed in-VMEM), gradient
+            # quadrature, joint assembly, dprec, and both solves.  An
+            # indefinite Vddmu NaNs the main solve in-kernel and the
+            # finite-check below picks the SPD fallback, exactly like the
+            # separate path.
+            (cov_diag, cov_off, _ld_g, dprec, dmu, dmu_fb) = (
+                engine.fused_gradient(state, temperature)
+            )
+            dmu = jnp.where(engine.all_finite(dmu), dmu, dmu_fb)
+            n_trials = config.niters_backtrack + 1
+            trials = config.step_size_base * (
+                config.step_decay ** jnp.arange(1, n_trials + 1, dtype=dtype)
+            )
+        elif method == "ngd":
             vdmu, vddmu = engine.ngd_gradients(
                 state.mu, cov_diag, cov_off, temperature, eval_dtype
             )
@@ -353,14 +378,23 @@ def make_gvi_step(engine, config: GVIConfig, method: str = "ngd"):
                 new_state.mu, new_cov_diag, new_cov_off, eval_dtype
             )
         elif use_fused:
-            # the fused kernel emits no covariance blocks; recompute the
-            # chain ONCE at the post-update state (width B, vs the T-wide
-            # trial batch).  When nothing was accepted this reproduces the
-            # carried blocks bitwise (same kernel, same precision input).
             upd = jnp.logical_and(keep, take)
-            new_cov_diag, new_cov_off, _ = engine.cov_logdet(
-                new_state.precision
-            )
+            if use_fused_grad:
+                # the NEXT iteration's gradient kernel recomputes covariance
+                # from the updated precision in-kernel (and this iteration's
+                # record already used the kernel's blocks via the rebinding
+                # above), so no chain call is needed here at all — the
+                # carried blocks are dead on this path
+                new_cov_diag, new_cov_off = cov_diag, cov_off
+            else:
+                # the fused trial kernel emits no covariance blocks;
+                # recompute the chain ONCE at the post-update state (width
+                # B, vs the T-wide trial batch).  When nothing was accepted
+                # this reproduces the carried blocks bitwise (same kernel,
+                # same precision input).
+                new_cov_diag, new_cov_off, _ = engine.cov_logdet(
+                    new_state.precision
+                )
             new_logdet = jnp.where(upd, ld_sel, logdet)
             new_fc_raw = jax.tree.map(
                 lambda a, b: jnp.where(upd, a, b), fc_sel, fc_raw

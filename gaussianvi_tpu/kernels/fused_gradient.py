@@ -1,0 +1,797 @@
+"""Fused NGD gradient kernel: covariance + sigma-point moments + joint
+natural-gradient assembly + BOTH block-Thomas solves in ONE Pallas program.
+
+Round-3 device traces (PERF.md section 18) left B=1024 spending 16% of the
+iteration in width-B pack/unpack copies around exactly four phases: the
+per-iteration gradient quadrature, the NGD assembly einsums, the
+natural-gradient solve, and the accepted-iterate chain call.  This kernel is
+the sibling of :mod:`.fused_trials` for that remaining width-B work — the
+whole gradient step stays in VMEM:
+
+* Inputs are the CURRENT iterate ``mu``, ``(prec_diag, prec_off)`` and the
+  per-problem temperature, packed once at width B (problems on lanes), plus
+  the same iterate-independent factor operands the fused trial kernel uses
+  (quadrature rules, linear residual forms) — the two kernels share one
+  operand prep (:meth:`..inference.engine.LocalEngine._build_fused_specs`).
+* The GBP forward/backward sweeps and per-edge 2s x 2s covariance inversion
+  (the exact algorithm of :mod:`.chain_lanes`) are FUSED with the factor
+  gradient math: as each state's marginal covariance comes out of the joint
+  inverse it is consumed immediately by the sigma-point MOMENT quadrature
+  (E[phi], E[(x-mu)phi], E[(x-mu)(x-mu)^T phi] in one pass — the reference
+  evaluates phi three times, ngd/NGDFactorizedBaseGH.h:53-74) and the NGD
+  local gradients Vdmu_k = P_k E[(x-mu)phi]/T, Vddmu_k = (P_k E_xxt P_k -
+  P_k E[phi])/T, scatter-added into joint scratch.  Linear factors
+  contribute their closed-form gradients in-kernel from the residual form:
+  Vdmu = 2 Lam^T prec_c (Lam mu - pm), Vddmu = 2 A — the Isserlis-collapsed
+  identity of factors/moments.linear_local_gradients (reference
+  ngd/NGDFactorizedLinear.h:104-119), assuming symmetric target precisions
+  (every library prior builds them symmetric).
+* After assembly the kernel emits ``dprec = Vddmu - Lambda`` and runs BOTH
+  natural-gradient solves — Thomas over Vddmu (pivoted in place over the
+  Vddmu scratch) and the SPD fallback over Lambda, whose pivots are the
+  forward sweep's, already in scratch — returning ``dmu`` and
+  ``dmu_fallback`` directly.  An indefinite Vddmu NaNs its Cholesky and the
+  caller's finite-check picks the fallback, exactly like the XLA path.
+* The covariance blocks ARE emitted (unlike the trial kernel): they are the
+  per-iteration record the reference's VIMPResults keeps
+  (helpers/DataRecorder.h:96-118), and with this kernel in the loop the
+  separate accepted-iterate chain call of the fused-trials path is deleted
+  (the next iteration's gradient kernel recomputes covariance from the
+  updated precision in-kernel).
+
+Reference analog: one iteration of the batched CUDA path
+(gvibase/GVI-GH-Cuda-impl.h:150-286 — GBP inverse, batched moment kernels,
+derivative mapping, CG solve), which crosses the host<->device boundary
+between every phase; here the phases never leave VMEM.
+
+Layout contract matches :mod:`.chain_lanes` / :mod:`.fused_trials`: batch
+packed on (RB sublanes x 128 lanes); grid = batch chunks.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .chain_lanes import (
+    LANE,
+    _chol,
+    _chol_solve_vec,
+    _listify,
+    _logdet_from_chol,
+    _matmul,
+    _pack,
+    _pivot_trust,
+    _sds,
+    _stack,
+    _trust_tol,
+    _unpack,
+)
+from .fused_trials import (
+    LinTrialSpec,
+    NLTrialSpec,
+    _inv_from_chol,
+    _pad_m,
+    _pad_rule,
+)
+from .quad_lanes import _M_CHUNK
+
+# Empirical VMEM budget (f32/v5e): total elements per 128-lane row summed
+# over resident arrays (inputs and outputs double-buffered, scratch single).
+# Device probe (scripts/fused_grad_ab.py --probe, round 4): the bench shape
+# (N=32, s=4, per_row=10,596) compiles and runs FASTEST at rb=8
+# (301k prob-iters/s at B=1024 vs 269k at the rb=2 a 24k budget allowed) —
+# v5e VMEM is far larger than the 16M default scoped-vmem cap the chain
+# kernel's budget was calibrated against.  90k admits rb=8 there while
+# still declining N>=128 shapes (per_row ~42k at N=128 caps rb=2).
+_MAX_ROW_ELEMS_GRAD = 90_000
+
+
+def row_elems_grad(n: int, s: int,
+                   nl_specs: tuple[NLTrialSpec, ...],
+                   lin_specs: tuple[LinTrialSpec, ...]) -> int:
+    """VMEM accounting: elements per 128-lane row."""
+    no = max(n - 1, 1)
+    per = 2 * (n * s + n * s * s + no * s * s + 1)        # mu, pd, po, temp
+    # outputs: cov_d, cov_o, ld, dprec_d, dprec_o, dmu, dmu_fb (x2 buf)
+    per += 2 * (2 * n * s * s + 2 * no * s * s + 2 * n * s + 1)
+    # scratch: fpiv, vdd, vdo, vdmu, y
+    per += 2 * n * s * s + no * s * s + 2 * n * s
+    for sp in nl_specs:
+        m = _pad_m(sp.m)
+        per += 2 * ((s + 1) * m)
+        per += 2 * sum(sp.k * math.prod(sh) for sh in sp.param_shapes)
+    for sp in lin_specs:
+        blocks = 3 if sp.nb == 2 else 1
+        per += 2 * sp.ka * (
+            blocks * s * s + sp.r * sp.nb * s + sp.r + sp.r * sp.r
+        )
+    return per
+
+
+def _layout_grad(n, s, nl_specs, lin_specs, batch) -> int:
+    """Sublane rows per grid step (0 = over budget).  Unlike the trial
+    kernel there is no per-trial serialization, so rb = 1 layouts are
+    admitted (they behave like any other width-B lanes kernel call)."""
+    per_row = row_elems_grad(n, s, nl_specs, lin_specs)
+    if per_row > _MAX_ROW_ELEMS_GRAD:
+        return 0
+    cap = min(8, _MAX_ROW_ELEMS_GRAD // per_row)
+    rows = -(-batch // LANE)
+    return min(
+        range(1, cap + 1),
+        key=lambda rb: (-(-rows // rb) * rb, -rb),
+    )
+
+
+def grad_fits_lanes(n, s, nl_specs, lin_specs) -> bool:
+    """Static eligibility: n >= 2 and the shape fits the VMEM budget."""
+    if n < 2:
+        return False
+    return _layout_grad(n, s, nl_specs, lin_specs, LANE) > 0
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _grad_kernel(n, s, nl_specs, lin_specs, eval_dtype,
+                 mu_ref, pd_ref, po_ref, temp_ref, *rest):
+    """Grid = (batch chunk g,).  Refs:
+
+    mu [1, N, s, RB, 128]; pd [1, N, s, s, RB, 128];
+    po [1, NO, s, s, RB, 128]; temp [1, RB, 128];
+    then per nl batch: (starts [K] SMEM if dynamic), nodes [1, s, M, RB,
+    128], w [1, M, RB, 128], param leaves [1, K, *leaf, RB, 128];
+    then per lin batch: (starts [K] SMEM if dynamic),
+    a [1, Ka, (3 if nb==2 else 1), s, s, RB, 128],
+    lam [1, Ka, r, nb*s, RB, 128], pm [1, Ka, r, RB, 128],
+    prec_c [1, Ka, r, r, RB, 128].
+    Outputs: covd [1, N, s, s, RB, 128], covo [1, NO, s, s, RB, 128],
+    ld [1, RB, 128], dpd [1, N, s, s, RB, 128], dpo [1, NO, s, s, RB, 128],
+    dmu [1, N, s, RB, 128], dfb [1, N, s, RB, 128].
+    Scratch: fpiv [N, s, s, RB, 128], vdd [N, s, s, RB, 128] (Vddmu diag,
+    pivoted in place by solve #1), vdo [NO, s, s, RB, 128] (Vddmu off),
+    vdmu [N, s, RB, 128], y [N, s, RB, 128].
+    """
+    pos = 0
+    nl_refs = []
+    for sp in nl_specs:
+        starts = None
+        if sp.slice_offset is None:
+            starts = rest[pos]
+            pos += 1
+        nodes, w = rest[pos], rest[pos + 1]
+        pos += 2
+        params = rest[pos:pos + len(sp.param_shapes)]
+        pos += len(sp.param_shapes)
+        nl_refs.append((starts, nodes, w, params))
+    lin_refs = []
+    for sp in lin_specs:
+        starts = None
+        if sp.slice_offset is None:
+            starts = rest[pos]
+            pos += 1
+        lin_refs.append(
+            (starts, rest[pos], rest[pos + 1], rest[pos + 2], rest[pos + 3])
+        )
+        pos += 4
+    (covd_ref, covo_ref, ld_ref, dpd_ref, dpo_ref, dmu_ref, dfb_ref,
+     fpiv_ref, vdd_ref, vdo_ref, vdmu_ref, y_ref) = rest[pos:]
+
+    inv_t = 1.0 / temp_ref[0]                       # [RB, 128]
+    zero = jnp.zeros_like(inv_t)
+    one = jnp.ones_like(inv_t)
+    zeros_m = jnp.zeros_like(pd_ref[0, 0])          # [s, s, RB, 128]
+    zeros_v = jnp.zeros_like(mu_ref[0, 0])          # [s, RB, 128]
+
+    # ---- phase 0: zero the gradient accumulators --------------------------
+    def zero_body(i, _):
+        vdd_ref[i] = zeros_m
+        vdmu_ref[i] = zeros_v
+
+        @pl.when(i < n - 1)
+        def _():
+            vdo_ref[i] = zeros_m
+
+        return 0
+
+    jax.lax.fori_loop(0, n, zero_body, 0)
+
+    # ---- phase 1: forward sweep over Lambda: pivots + logdet ---------------
+    # Kahan-compensated + pivot-trust guarded, like the chain kernel
+    tol = _trust_tol(mu_ref.dtype)
+
+    def fwd_body(i, carry):
+        m_arr, ld, comp, trust = carry
+        d_l = _listify(pd_ref[0, i], s)
+        m_l = _listify(m_arr, s)
+        piv_l = _listify(pd_ref[0, i] + m_arr, s)
+        fpiv_ref[i] = _stack(piv_l, s)
+        l = _chol(piv_l, s)
+        trust = _pivot_trust(l, piv_l, d_l, m_l, s, trust)
+        term = _logdet_from_chol(l, s) - comp
+        ld_new = ld + term
+        comp = (ld_new - ld) - term
+        ld = ld_new
+        off = _listify(po_ref[0, jnp.minimum(i, n - 2)], s)
+        x = [[None] * s for _ in range(s)]
+        for col in range(s):
+            sol = _chol_solve_vec(l, [off[r][col] for r in range(s)], s)
+            for r in range(s):
+                x[r][col] = sol[r]
+        btx = _matmul(off, x, s, s, s, transpose_a=True)
+        m_next = _stack([[-btx[a][b] for b in range(s)]
+                         for a in range(s)], s)
+        keep = i < n - 1
+        return (jnp.where(keep, m_next, m_arr), ld, comp, trust)
+
+    _, ld, _, trust = jax.lax.fori_loop(
+        0, n, fwd_body, (zeros_m, zero, zero, jnp.ones_like(zero))
+    )
+    ld_ref[0] = jnp.where(trust >= tol, ld, jnp.full_like(ld, jnp.nan))
+
+    # ---- factor gradient helpers ------------------------------------------
+    tri = [(i, j) for i in range(s) for j in range(i + 1)]
+
+    def quad_moments(sp, refs, k, mu_c, chol_l):
+        """(e_phi, e_xmu list[s], e_xxt tri list) of factor k of an nb==1
+        nonlinear batch at marginal (mu_c list[s], chol(cov) chol_l)."""
+        _, nodes_ref, w_ref, param_refs = refs
+        params = tuple(pr[0, k] for pr in param_refs)
+        m_pad = w_ref.shape[1]
+        n_chunks = m_pad // _M_CHUNK
+        n_acc = 1 + s + len(tri)
+
+        def chunk_body(c, acc):
+            sl = pl.ds(c * _M_CHUNK, _M_CHUNK)
+            diff = []
+            for i in range(s):
+                t = None
+                for j in range(i + 1):
+                    term = nodes_ref[0, j, sl] * chol_l[i][j][None]
+                    t = term if t is None else t + term
+                if eval_dtype is not None:
+                    # centered offset quantization (moments._sigma_diffs)
+                    t = t.astype(eval_dtype).astype(t.dtype)
+                diff.append(t)
+            pts = tuple(diff[i] + mu_c[i][None] for i in range(s))
+            phi = sp.lanes_cost(pts, *params)
+            wphi = phi * w_ref[0, sl]
+            out = [acc[0] + jnp.sum(wphi, axis=0)]
+            wd = [wphi * diff[i] for i in range(s)]
+            out += [acc[1 + i] + jnp.sum(wd[i], axis=0) for i in range(s)]
+            out += [
+                acc[1 + s + t_] + jnp.sum(wd[i] * diff[j], axis=0)
+                for t_, (i, j) in enumerate(tri)
+            ]
+            return tuple(out)
+
+        acc = jax.lax.fori_loop(0, n_chunks, chunk_body, (zero,) * n_acc)
+        return acc[0], list(acc[1:1 + s]), list(acc[1 + s:])
+
+    def nl_gradient(sp, refs, k, i, mu_c, cov_l):
+        """Accumulate NGD local gradients of nonlinear factor k at state i
+        (ngd/NGDFactorizedBaseGH.h:53-74 math, fused with the moments)."""
+        chol_l = _chol(cov_l, s)
+        e_phi, e_xmu, e_xxt_tri = quad_moments(sp, refs, k, mu_c, chol_l)
+        e_xxt = [[None] * s for _ in range(s)]
+        for t_, (a_, b_) in enumerate(tri):
+            e_xxt[a_][b_] = e_xxt_tri[t_]
+            e_xxt[b_][a_] = e_xxt_tri[t_]
+        p = _inv_from_chol(chol_l, s, one, zero)       # marginal precision
+        # Vdmu_k = P e_xmu / T
+        vd_new = []
+        for r in range(s):
+            acc = vdmu_ref[i, r]
+            for c in range(s):
+                acc = acc + p[r][c] * e_xmu[c] * inv_t
+            vd_new.append(acc)
+        for r in range(s):
+            vdmu_ref[i, r] = vd_new[r]
+        # Vddmu_k = sym(P E P) - P e_phi, / T
+        pe = _matmul(p, e_xxt, s, s, s)
+        pep = _matmul(pe, p, s, s, s)
+        contrib = [[None] * s for _ in range(s)]
+        for a_ in range(s):
+            for b_ in range(s):
+                contrib[a_][b_] = (
+                    0.5 * (pep[a_][b_] + pep[b_][a_]) - p[a_][b_] * e_phi
+                ) * inv_t
+        vdd_ref[i] = vdd_ref[i] + _stack(contrib, s)
+
+    def _lin_resid_w(refs, kk, r, mu_e):
+        """w = prec_c (Lam mu - pm): the residual premultiplied, shared by
+        the Vdmu rows."""
+        _, _, lam_ref, pm_ref, prec_ref = refs
+        de = len(mu_e)
+        resid = []
+        for rr in range(r):
+            acc = -pm_ref[0, kk, rr]
+            for d_ in range(de):
+                acc = acc + lam_ref[0, kk, rr, d_] * mu_e[d_]
+            resid.append(acc)
+        w = []
+        for rr in range(r):
+            acc = None
+            for cc in range(r):
+                term = prec_ref[0, kk, rr, cc] * resid[cc]
+                acc = term if acc is None else acc + term
+            w.append(acc)
+        return w
+
+    def lin_gradient_nb1(refs, k, sp, i, mu_c):
+        """Anchor factor: Vdmu = 2 Lam^T w / T, Vddmu = 2 A / T
+        (ngd/NGDFactorizedLinear.h:104-119, Isserlis collapsed)."""
+        _, a_ref, lam_ref, _, _ = refs
+        kk = jnp.minimum(k, sp.ka - 1)
+        w = _lin_resid_w(refs, kk, sp.r, mu_c)
+        vd_new = []
+        for d_ in range(s):
+            acc = vdmu_ref[i, d_]
+            for rr in range(sp.r):
+                acc = acc + 2.0 * lam_ref[0, kk, rr, d_] * w[rr] * inv_t
+            vd_new.append(acc)
+        for d_ in range(s):
+            vdmu_ref[i, d_] = vd_new[d_]
+        vdd_ref[i] = vdd_ref[i] + 2.0 * a_ref[0, kk, 0] * inv_t[None, None]
+
+    def lin_gradient_nb2(refs, k, sp, i, mu_i, mu_j):
+        """Edge factor: Vdmu rows split across states i/i+1; Vddmu blocks
+        A11 -> diag i, A22 -> diag i+1, A12 -> off i (the blockwise form of
+        inference/graph.scatter_gradients)."""
+        _, a_ref, lam_ref, _, _ = refs
+        kk = jnp.minimum(k, sp.ka - 1)
+        w = _lin_resid_w(refs, kk, sp.r, mu_i + mu_j)
+        vd_i, vd_j = [], []
+        for d_ in range(s):
+            acc_i = vdmu_ref[i, d_]
+            acc_j = vdmu_ref[i + 1, d_]
+            for rr in range(sp.r):
+                acc_i = acc_i + 2.0 * lam_ref[0, kk, rr, d_] * w[rr] * inv_t
+                acc_j = acc_j + (
+                    2.0 * lam_ref[0, kk, rr, s + d_] * w[rr] * inv_t
+                )
+            vd_i.append(acc_i)
+            vd_j.append(acc_j)
+        for d_ in range(s):
+            vdmu_ref[i, d_] = vd_i[d_]
+            vdmu_ref[i + 1, d_] = vd_j[d_]
+        two_t = 2.0 * inv_t[None, None]
+        vdd_ref[i] = vdd_ref[i] + a_ref[0, kk, 0] * two_t
+        vdd_ref[i + 1] = vdd_ref[i + 1] + a_ref[0, kk, 1] * two_t
+        vdo_ref[i] = vdo_ref[i] + a_ref[0, kk, 2] * two_t
+
+    def state_mu(i):
+        return [mu_ref[0, i, r] for r in range(s)]
+
+    def eval_state(i, cov_l, mu_c):
+        """All per-STATE gradient contributions at state i."""
+        for sp, refs in zip(nl_specs, nl_refs):
+            if sp.slice_offset is not None:
+                k = i - sp.slice_offset
+
+                @pl.when(jnp.logical_and(k >= 0, k < sp.k))
+                def _(sp=sp, refs=refs, k=k):
+                    nl_gradient(sp, refs, k, i, mu_c, cov_l)
+            else:
+                starts = refs[0]
+                for k in range(sp.k):
+                    @pl.when(starts[k] == i)
+                    def _(sp=sp, refs=refs, k=k):
+                        nl_gradient(sp, refs, k, i, mu_c, cov_l)
+        for sp, refs in zip(lin_specs, lin_refs):
+            if sp.nb != 1:
+                continue
+            if sp.slice_offset is not None:
+                k = i - sp.slice_offset
+
+                @pl.when(jnp.logical_and(k >= 0, k < sp.k))
+                def _(sp=sp, refs=refs, k=k):
+                    lin_gradient_nb1(refs, k, sp, i, mu_c)
+            else:
+                starts = refs[0]
+                for k in range(sp.k):
+                    @pl.when(starts[k] == i)
+                    def _(sp=sp, refs=refs, k=k):
+                        lin_gradient_nb1(refs, k, sp, i, mu_c)
+
+    # ---- phase 2: backward sweep fused with edge inversion + gradients -----
+    def bwd_body(kk, gpiv_next):
+        i = n - 2 - kk
+        f = _listify(fpiv_ref[i], s)
+        g = _listify(gpiv_next, s)
+        off = _listify(po_ref[0, i], s)
+        t = 2 * s
+        joint = [[None] * t for _ in range(t)]
+        for a_ in range(s):
+            for b_ in range(s):
+                joint[a_][b_] = f[a_][b_]
+                joint[a_][s + b_] = off[a_][b_]
+                joint[s + a_][b_] = off[b_][a_]
+                joint[s + a_][s + b_] = g[a_][b_]
+        lj = _chol(joint, t)
+        inv = _inv_from_chol(lj, t, one, zero)
+        cii = [[inv[a][b] for b in range(s)] for a in range(s)]
+        cjj = [[inv[s + a][s + b] for b in range(s)] for a in range(s)]
+        cij = [[inv[a][s + b] for b in range(s)] for a in range(s)]
+        covd_ref[0, i] = _stack(cii, s)
+        covo_ref[0, i] = _stack(cij, s)
+
+        mu_i = state_mu(i)
+        mu_j = state_mu(i + 1)
+        eval_state(i, cii, mu_i)
+
+        @pl.when(i == n - 2)
+        def _():
+            covd_ref[0, n - 1] = _stack(cjj, s)
+            eval_state(n - 1, cjj, mu_j)
+
+        for sp, refs in zip(lin_specs, lin_refs):
+            if sp.nb != 2:
+                continue
+            if sp.slice_offset is not None:
+                k = i - sp.slice_offset
+
+                @pl.when(jnp.logical_and(k >= 0, k < sp.k))
+                def _(sp=sp, refs=refs, k=k):
+                    lin_gradient_nb2(refs, k, sp, i, mu_i, mu_j)
+            else:
+                starts = refs[0]
+                for k in range(sp.k):
+                    @pl.when(starts[k] == i)
+                    def _(sp=sp, refs=refs, k=k):
+                        lin_gradient_nb2(refs, k, sp, i, mu_i, mu_j)
+
+        # gpiv_i = D_i - B_i gpiv_{i+1}^{-1} B_i^T
+        lg = _chol(g, s)
+        x = [[None] * s for _ in range(s)]
+        for col in range(s):
+            sol = _chol_solve_vec(lg, [off[col][r] for r in range(s)], s)
+            for r in range(s):
+                x[r][col] = sol[r]
+        d_l = _listify(pd_ref[0, i], s)
+        gpiv_i = [[None] * s for _ in range(s)]
+        for a_ in range(s):
+            for b_ in range(s):
+                acc = d_l[a_][b_]
+                for r in range(s):
+                    acc = acc - off[a_][r] * x[r][b_]
+                gpiv_i[a_][b_] = acc
+        return _stack(gpiv_i, s)
+
+    jax.lax.fori_loop(0, n - 1, bwd_body, pd_ref[0, n - 1])
+
+    # ---- phase 3: dprec = Vddmu - Lambda ------------------------------------
+    def dprec_body(i, _):
+        dpd_ref[0, i] = vdd_ref[i] - pd_ref[0, i]
+
+        @pl.when(i < n - 1)
+        def _():
+            dpo_ref[0, i] = vdo_ref[i] - po_ref[0, i]
+
+        return 0
+
+    jax.lax.fori_loop(0, n, dprec_body, 0)
+
+    # ---- phase 4: Thomas solve Vddmu dmu = -Vdmu ----------------------------
+    # forward pivots IN PLACE over the Vddmu diag scratch (each diag block
+    # is read exactly once, at its own step, before being overwritten)
+    def s1_fwd(i, m_arr):
+        piv_l = _listify(vdd_ref[i] + m_arr, s)
+        vdd_ref[i] = _stack(piv_l, s)
+        l = _chol(piv_l, s)
+        off = _listify(vdo_ref[jnp.minimum(i, n - 2)], s)
+        x = [[None] * s for _ in range(s)]
+        for col in range(s):
+            sol = _chol_solve_vec(l, [off[r][col] for r in range(s)], s)
+            for r in range(s):
+                x[r][col] = sol[r]
+        btx = _matmul(off, x, s, s, s, transpose_a=True)
+        m_next = _stack([[-btx[a][b] for b in range(s)]
+                         for a in range(s)], s)
+        return jnp.where(i < n - 1, m_next, m_arr)
+
+    jax.lax.fori_loop(0, n, s1_fwd, zeros_m)
+
+    def _solve_sweeps(piv_at, off_at, x_out_ref):
+        """Elimination + back-substitution with rhs = -Vdmu, pivots/offs
+        provided by accessors (chain_lanes._solve_kernel structure)."""
+        for r in range(s):
+            y_ref[0, r] = -vdmu_ref[0, r]
+
+        def elim_body(i, _):
+            l = _chol(_listify(piv_at(i - 1), s), s)
+            sol = _chol_solve_vec(l, [y_ref[i - 1, r] for r in range(s)], s)
+            off = _listify(off_at(jnp.maximum(i - 1, 0)), s)
+            for r in range(s):
+                acc = -vdmu_ref[i, r]
+                for k in range(s):
+                    acc = acc - off[k][r] * sol[k]
+                y_ref[i, r] = acc
+            return 0
+
+        jax.lax.fori_loop(1, n, elim_body, 0)
+
+        def back_body(kk, _):
+            i = n - 1 - kk
+            l = _chol(_listify(piv_at(i), s), s)
+            rhs = [y_ref[i, r] for r in range(s)]
+            off = _listify(off_at(jnp.minimum(i, n - 2)), s)
+            x_next = [
+                x_out_ref[0, jnp.minimum(i + 1, n - 1), r] for r in range(s)
+            ]
+            rhs = [
+                jnp.where(
+                    i < n - 1,
+                    rhs[r] - sum(off[r][c] * x_next[c] for c in range(s)),
+                    rhs[r],
+                )
+                for r in range(s)
+            ]
+            sol = _chol_solve_vec(l, rhs, s)
+            for r in range(s):
+                x_out_ref[0, i, r] = sol[r]
+            return 0
+
+        jax.lax.fori_loop(0, n, back_body, 0)
+
+    _solve_sweeps(lambda i: vdd_ref[i], lambda i: vdo_ref[i], dmu_ref)
+
+    # ---- phase 5: SPD fallback solve Lambda dmu_fb = -Vdmu ------------------
+    # Lambda's forward pivots are exactly phase 1's, still in fpiv scratch.
+    _solve_sweeps(lambda i: fpiv_ref[i], lambda i: po_ref[0, i], dfb_ref)
+
+
+# ---------------------------------------------------------------------------
+# host wrapper + vmap composition
+# ---------------------------------------------------------------------------
+
+def gradient_lanes(
+    mu, pd, po, temperature,
+    nl_specs: tuple[NLTrialSpec, ...],
+    lin_specs: tuple[LinTrialSpec, ...],
+    nl_arrays: tuple,      # per batch: (starts|None, nodes, weights, leaves)
+    lin_arrays: tuple,     # per batch: (starts|None, a, lam, pm, prec_c)
+    interpret: bool | None = None,
+    eval_dtype=None,       # in-kernel centered offset quantization (bf16)
+):
+    """Batched fused NGD gradient step.
+
+    mu [B, N, s]; pd [B, N, s, s]; po [B, N-1, s, s]; temperature [B].
+    nl/lin array leaves carry a leading B axis (starts do not).  Returns
+    (cov_diag [B, N, s, s], cov_off [B, N-1, s, s], logdet [B],
+    dprec_diag [B, N, s, s], dprec_off [B, N-1, s, s], dmu [B, N, s],
+    dmu_fallback [B, N, s]), or None if the shape exceeds the budget.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, n, s = mu.shape
+    rb = _layout_grad(n, s, nl_specs, lin_specs, b)
+    if rb == 0:
+        return None
+    pad = (-b) % (LANE * rb)
+    if pad:
+        rep = lambda x: jnp.concatenate(
+            [x, jnp.broadcast_to(x[0:1], (pad,) + x.shape[1:])]
+        )
+        mu, pd, po, temperature = map(rep, (mu, pd, po, temperature))
+        nl_arrays = tuple(
+            (st, nd, w, tuple(rep(p) for p in leaves))
+            for (st, nd, w, leaves) in nl_arrays
+        )
+        lin_arrays = tuple(
+            (st, rep(a), rep(lm), rep(pm), rep(pc))
+            for (st, a, lm, pm, pc) in lin_arrays
+        )
+    bp = b + pad
+    grid_b = bp // (LANE * rb)
+
+    def lanes(x):
+        return _pack(jnp.moveaxis(x, 0, -1), grid_b, rb)
+
+    no = max(n - 1, 1)
+    mu_l = lanes(mu)
+    pd_l, po_l = lanes(pd), lanes(po)
+    temp_l = lanes(temperature.astype(mu.dtype))     # [G, RB, 128]
+
+    def spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec((1,) + shape, lambda g, nd=nd: (g,) + (0,) * nd)
+
+    def spec0(shape):
+        nd = len(shape)
+        return pl.BlockSpec((1,) + shape, lambda g, nd=nd: (0,) * (nd + 1))
+
+    in_specs = [
+        spec((n, s, rb, LANE)),
+        spec((n, s, s, rb, LANE)), spec((no, s, s, rb, LANE)),
+        spec((rb, LANE)),
+    ]
+    operands = [mu_l, pd_l, po_l, temp_l]
+
+    for sp, (starts, nodes, weights, leaves) in zip(nl_specs, nl_arrays):
+        if sp.slice_offset is None:
+            operands.append(starts.astype(jnp.int32))
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        nodes_p, w_p = _pad_rule(nodes, weights, mu.dtype)
+        m = nodes_p.shape[0]
+        operands.append(jnp.broadcast_to(
+            nodes_p.T[None, :, :, None, None], (1, s, m, rb, LANE)
+        ))
+        in_specs.append(spec0((s, m, rb, LANE)))
+        operands.append(jnp.broadcast_to(
+            w_p[None, :, None, None], (1, m, rb, LANE)
+        ))
+        in_specs.append(spec0((m, rb, LANE)))
+        for leaf, sh in zip(leaves, sp.param_shapes):
+            operands.append(lanes(leaf))
+            in_specs.append(spec((sp.k,) + sh + (rb, LANE)))
+    for sp, (starts, a, lm, pm, pc) in zip(lin_specs, lin_arrays):
+        if sp.slice_offset is None:
+            operands.append(starts.astype(jnp.int32))
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        blocks = 3 if sp.nb == 2 else 1
+        a3 = a.reshape(a.shape[0], sp.ka, blocks, s, s)
+        operands.append(lanes(a3))
+        in_specs.append(spec((sp.ka, blocks, s, s, rb, LANE)))
+        operands.append(lanes(lm))
+        in_specs.append(spec((sp.ka, sp.r, sp.nb * s, rb, LANE)))
+        operands.append(lanes(pm))
+        in_specs.append(spec((sp.ka, sp.r, rb, LANE)))
+        operands.append(lanes(pc))
+        in_specs.append(spec((sp.ka, sp.r, sp.r, rb, LANE)))
+
+    out_shapes = [
+        _sds((grid_b, n, s, s, rb, LANE), mu.dtype, mu_l),   # covd
+        _sds((grid_b, no, s, s, rb, LANE), mu.dtype, mu_l),  # covo
+        _sds((grid_b, rb, LANE), mu.dtype, mu_l),            # ld
+        _sds((grid_b, n, s, s, rb, LANE), mu.dtype, mu_l),   # dpd
+        _sds((grid_b, no, s, s, rb, LANE), mu.dtype, mu_l),  # dpo
+        _sds((grid_b, n, s, rb, LANE), mu.dtype, mu_l),      # dmu
+        _sds((grid_b, n, s, rb, LANE), mu.dtype, mu_l),      # dfb
+    ]
+    out_specs = [
+        spec((n, s, s, rb, LANE)), spec((no, s, s, rb, LANE)),
+        spec((rb, LANE)),
+        spec((n, s, s, rb, LANE)), spec((no, s, s, rb, LANE)),
+        spec((n, s, rb, LANE)), spec((n, s, rb, LANE)),
+    ]
+
+    kernel = functools.partial(
+        _grad_kernel, n, s, nl_specs, lin_specs, eval_dtype
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid_b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((n, s, s, rb, LANE), mu.dtype),   # fpiv
+            pltpu.VMEM((n, s, s, rb, LANE), mu.dtype),   # vdd
+            pltpu.VMEM((no, s, s, rb, LANE), mu.dtype),  # vdo
+            pltpu.VMEM((n, s, rb, LANE), mu.dtype),      # vdmu
+            pltpu.VMEM((n, s, rb, LANE), mu.dtype),      # y
+        ],
+        interpret=interpret,
+    )(*operands)
+
+    def unlanes(y):
+        return jnp.moveaxis(_unpack(y, bp), -1, 0)[:b]
+
+    covd, covo, ld, dpd, dpo, dmu, dfb = out
+    return (
+        unlanes(covd),
+        unlanes(covo) if n > 1 else jnp.zeros((b, 0, s, s), mu.dtype),
+        unlanes(ld),
+        unlanes(dpd),
+        unlanes(dpo) if n > 1 else jnp.zeros((b, 0, s, s), mu.dtype),
+        unlanes(dmu),
+        unlanes(dfb),
+    )
+
+
+def make_gradient_vmappable(n, s, nl_specs, lin_specs, interpret=None,
+                            eval_dtype=None):
+    """Per-problem fused gradient step, efficient under outer vmap (problem
+    axes flatten onto the 128 lanes — same pattern as fused_trials).
+    Returns a function
+
+        f(mu [N,s], pd [N,s,s], po [N-1,s,s], temperature [],
+          *flat_arrays)
+          -> (cov_diag, cov_off, logdet, dprec_diag, dprec_off, dmu,
+              dmu_fallback)
+
+    ``flat_arrays``: per nl batch (starts? nodes weights *leaves), per lin
+    batch (starts? a lam pm prec_c) — the SAME flat tuple the fused trial
+    kernel takes (engine._build_fused_specs builds it once for both)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    shared = [False] * 4           # mu pd po temperature
+    for sp in nl_specs:
+        if sp.slice_offset is None:
+            shared.append(True)    # starts
+        shared += [True, True]     # nodes, weights
+        shared += [False] * len(sp.param_shapes)
+    for sp in lin_specs:
+        if sp.slice_offset is None:
+            shared.append(True)
+        shared += [False, False, False, False]
+
+    def _regroup(args):
+        core = args[:4]
+        pos = 4
+        nl_arrays = []
+        for sp in nl_specs:
+            starts = None
+            if sp.slice_offset is None:
+                starts = args[pos]
+                pos += 1
+            nodes, w = args[pos], args[pos + 1]
+            pos += 2
+            leaves = tuple(args[pos:pos + len(sp.param_shapes)])
+            pos += len(sp.param_shapes)
+            nl_arrays.append((starts, nodes, w, leaves))
+        lin_arrays = []
+        for sp in lin_specs:
+            starts = None
+            if sp.slice_offset is None:
+                starts = args[pos]
+                pos += 1
+            lin_arrays.append(
+                (starts, args[pos], args[pos + 1], args[pos + 2],
+                 args[pos + 3])
+            )
+            pos += 4
+        return core, tuple(nl_arrays), tuple(lin_arrays)
+
+    @jax.custom_batching.custom_vmap
+    def call(*args):
+        # base case is BATCHED: core leaves [B, ...], temperature [B]
+        core, nl_arrays, lin_arrays = _regroup(args)
+        return gradient_lanes(
+            *core, nl_specs, lin_specs, nl_arrays, lin_arrays,
+            interpret=interpret, eval_dtype=eval_dtype,
+        )
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        new_args = []
+        for x, sh, bt in zip(args, shared, in_batched):
+            if sh:
+                new_args.append(x[0] if bt else x)
+            else:
+                xb = x if bt else jnp.broadcast_to(
+                    x[None], (axis_size,) + x.shape
+                )
+                new_args.append(
+                    xb.reshape((xb.shape[0] * xb.shape[1],) + xb.shape[2:])
+                )
+        out = call(*new_args)
+        if out is None:
+            raise ValueError("fused gradient shape exceeded the VMEM budget "
+                             "under vmap (check grad_fits_lanes first)")
+        bb = out[2].shape[0]
+        b1 = bb // axis_size
+        resh = lambda y: y.reshape((axis_size, b1) + y.shape[1:])
+        return tuple(resh(y) for y in out), tuple(True for _ in out)
+
+    def f(mu, pd, po, temperature, *flat):
+        out = call(
+            mu[None], pd[None], po[None],
+            jnp.reshape(temperature, (1,)),
+            *[x if sh else x[None] for x, sh in zip(flat, shared[4:])],
+        )
+        if out is None:
+            raise ValueError("fused gradient shape exceeded the VMEM budget "
+                             "(check grad_fits_lanes first)")
+        return tuple(y[0] for y in out)
+
+    return f
