@@ -165,6 +165,33 @@ def _history_spec(graph: FactorGraph) -> GVIHistory:
     )
 
 
+def resolve_sharded_impls(config: GVIConfig, mesh: Mesh) -> GVIConfig:
+    """Resolve ``chain_impl``/``quad_impl`` "auto" by the MESH's device
+    platform (not the process default: a TPU-attached process may run a
+    dryrun over a virtual CPU mesh, and vice versa won't happen, but the
+    mesh is the ground truth either way).
+
+    On a TPU mesh the lanes Pallas kernels run COMPILED inside shard_map —
+    validated by tests/device/ (a pallas_call lowers per shard; the chain
+    is (dp, fp)-local so no collective crosses the kernel) — keeping the
+    measured single-chip fast path (PERF.md sections 4/7) when a second
+    chip appears.  On a CPU mesh "auto" resolves to the scan paths: the
+    lanes kernels would run in Pallas INTERPRET mode there, which jax 0.9
+    cannot trace under shard_map's vma checking (its internal grid loop
+    carries vma-untyped buffers); the interpret-mode lanes equivalence is
+    instead validated explicitly with ``check_vma=False``
+    (tests/test_sharded_lanes.py).
+    """
+    platform = mesh.devices.flat[0].platform
+    new = {}
+    if config.chain_impl == "auto":
+        new["chain_impl"] = "lanes" if platform == "tpu" else "seq"
+    if config.quad_impl == "auto":
+        chain = new.get("chain_impl", config.chain_impl)
+        new["quad_impl"] = "lanes" if chain == "lanes" else "xla"
+    return replace(config, **new) if new else config
+
+
 class FactorShardEngine(LocalEngine):
     """Engine hooks with the nonlinear-factor axis sharded over ``fp``.
 
@@ -178,22 +205,31 @@ class FactorShardEngine(LocalEngine):
     carry_axes = ("dp",)
 
     def __init__(self, graph: FactorGraph, config, axis: str = "fp"):
-        # XLA quadrature + scan chain inside shard_map (the lanes Pallas
-        # kernels are a single-device fast path; Pallas under shard_map is
-        # unvalidated, and a TPU-attached process may run this dryrun on a
-        # virtual CPU mesh, where "auto" must NOT resolve by the process
-        # platform)
+        # "auto" should have been resolved against the mesh by
+        # optimize_sharded (resolve_sharded_impls); an engine constructed
+        # directly without a mesh falls back to the scan paths (the
+        # process platform is not trustworthy inside shard_map)
         if config.chain_impl == "auto":
-            import dataclasses
-
-            config = dataclasses.replace(
+            config = replace(
                 config,
                 chain_impl=(
                     "assoc"
                     if graph.num_states >= config.assoc_threshold else "seq"
                 ),
             )
-        super().__init__(graph, config, use_pallas=False, quad_impl="xla")
+        if config.quad_impl == "auto":
+            config = replace(
+                config,
+                quad_impl="lanes" if config.chain_impl == "lanes" else "xla",
+            )
+        # the fused trial/gradient kernels evaluate only the LOCAL factor
+        # shard but run_gvi's fused branches sum their per-factor costs
+        # without the engine's psum reduction — they are single-device
+        # paths until they grow a sharded reduction
+        config = replace(config, fused_trials="off", fused_gradient="off")
+        super().__init__(
+            graph, config, use_pallas=False, quad_impl=config.quad_impl
+        )
         self.axis = axis
 
     def reduce_fc(self, fc_tuple):
@@ -216,9 +252,9 @@ class FactorShardEngine(LocalEngine):
             mu_k, cov_k = gather_marginals(
                 fb.start, fb.nb, mu, cov_diag, cov_off
             )
-            e_phi, e_xmu, e_xxt = mm.gh_moments(
-                fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params,
-                eval_dtype,
+            e_phi, e_xmu, e_xxt = mm.batch_moments(
+                fb, mu_k, cov_k, use_pallas=False, eval_dtype=eval_dtype,
+                quad_impl=self.quad_impl,
             )
             vd, vdd = mm.ngd_local_gradients(
                 e_phi, e_xmu, e_xxt, cov_k, temperature
@@ -243,7 +279,7 @@ class FactorShardEngine(LocalEngine):
         nl_graph = replace(self.graph, linear=())
         lin_graph = replace(self.graph, nonlinear=())
         dmu_nl, dprec_nl = prox_gradients(
-            nl_graph, mu, cov_diag, cov_off, step_size
+            nl_graph, mu, cov_diag, cov_off, step_size, self.quad_impl
         )
         dmu = lax.psum(dmu_nl, self.axis)
         dprec = BlockTridiag(
@@ -262,6 +298,7 @@ def optimize_sharded(
     config: GVIConfig,
     mesh: Mesh,
     method: str = "ngd",
+    check_vma: bool = True,
 ) -> tuple[GaussianState, GVIHistory]:
     """The FULL GVI loop (identical semantics to ``optimize``), SPMD over
     (dp, fp).
@@ -270,7 +307,15 @@ def optimize_sharded(
     each nonlinear batch's K axis is sharded over fp.  Returns the batched
     final state and per-problem history — trajectories match a vmapped
     ``optimize`` run up to floating-point reassociation of the psum.
+
+    "auto" impls resolve against the MESH platform (lanes Pallas kernels
+    on TPU meshes — compiled per shard; scan paths on CPU meshes), see
+    :func:`resolve_sharded_impls`.  ``check_vma=False`` disables
+    shard_map's varying-axes type system — needed only to run the lanes
+    kernels in Pallas INTERPRET mode under shard_map (CPU-mesh validation;
+    jax 0.9 limitation).
     """
+    config = resolve_sharded_impls(config, mesh)
     graph_spec = _graph_specs(graph_b, batched=True)
     state_spec = _state_spec(batched=True)
     hist_spec = _history_spec(graph_b)
@@ -280,6 +325,7 @@ def optimize_sharded(
         mesh=mesh,
         in_specs=(graph_spec, state_spec),
         out_specs=(state_spec, hist_spec),
+        check_vma=check_vma,
     )
     def run(graph_loc, state_loc):
         # the factor K axis is sharded over fp, so a shard's local `start`

@@ -1,0 +1,101 @@
+"""Lanes Pallas kernels under shard_map (VERDICT r3 item 3).
+
+Multi-chip runs previously forfeited the measured single-chip fast path:
+``FactorShardEngine`` hard-pinned scan chain + XLA quadrature.  Now
+"auto" resolves against the MESH platform (lanes compiled per shard on a
+TPU mesh, scans on a CPU mesh — see ``resolve_sharded_impls``), and these
+tests prove the lanes kernels EXECUTE correctly inside shard_map on the
+8-device CPU mesh (interpret mode, ``check_vma=False`` — jax 0.9 cannot
+trace Pallas interpret mode under the vma type system; compiled TPU
+execution under ``check_vma=True`` is covered by tests/device/).
+"""
+
+import numpy as np
+import pytest
+from dataclasses import replace
+
+import jax
+import jax.numpy as jnp
+
+from gaussianvi_tpu.examples.chain_estimation import build_chain_estimation
+from gaussianvi_tpu.inference import GVIConfig
+from gaussianvi_tpu.inference.optimize import optimize
+from gaussianvi_tpu.parallel.sharding import (
+    make_mesh,
+    optimize_sharded,
+    resolve_sharded_impls,
+    stack_problems,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh"
+)
+
+
+def _problems(num, num_states=6, dim_x=1):
+    graphs, states = [], []
+    for seed in range(num):
+        g, s0, _ = build_chain_estimation(
+            num_states=num_states, dim_x=dim_x, gh_degree=3, seed=seed
+        )
+        graphs.append(g)
+        states.append(s0)
+    return stack_problems(graphs, states), graphs, states
+
+
+class TestResolution:
+    def test_cpu_mesh_resolves_to_scans(self):
+        mesh = make_mesh(4, 2)
+        cfg = resolve_sharded_impls(GVIConfig(), mesh)
+        assert cfg.chain_impl == "seq"
+        assert cfg.quad_impl == "xla"
+
+    def test_explicit_impls_pass_through(self):
+        mesh = make_mesh(4, 2)
+        cfg = resolve_sharded_impls(
+            GVIConfig(chain_impl="lanes", quad_impl="lanes"), mesh
+        )
+        assert cfg.chain_impl == "lanes"
+        assert cfg.quad_impl == "lanes"
+
+
+class TestShardedLanesEquivalence:
+    @pytest.mark.parametrize("method", ["ngd", "prox"])
+    def test_sharded_lanes_matches_local(self, method):
+        """Full optimize_sharded with the lanes chain+quad kernels running
+        in interpret mode inside shard_map vs the local (vmapped) run with
+        the SAME impls."""
+        (graph_b, state_b), graphs, states = _problems(4)
+        mesh = make_mesh(2, 2)
+        config = GVIConfig(
+            niters=3, niters_lowtemp=3, step_size_base=0.9,
+            chain_impl="lanes", quad_impl="lanes",
+        )
+        st_sh, hist_sh = optimize_sharded(
+            graph_b, state_b, config, mesh, method=method, check_vma=False
+        )
+        for i, (g, s0) in enumerate(zip(graphs, states)):
+            st_l, hist_l = optimize(g, s0, config, method=method)
+            np.testing.assert_allclose(
+                hist_sh.cost[i], hist_l.cost, rtol=1e-7
+            )
+            np.testing.assert_allclose(st_sh.mu[i], st_l.mu, atol=1e-7)
+
+    def test_sharded_lanes_matches_sharded_scans(self):
+        """The two sharded backends agree with each other (same psum
+        structure, different chain/quad kernels)."""
+        (graph_b, state_b), _, _ = _problems(4)
+        mesh = make_mesh(2, 2)
+        base = GVIConfig(niters=3, niters_lowtemp=3, step_size_base=0.9)
+        st_l, hist_l = optimize_sharded(
+            graph_b, state_b,
+            replace(base, chain_impl="lanes", quad_impl="lanes"),
+            mesh, check_vma=False,
+        )
+        st_s, hist_s = optimize_sharded(
+            graph_b, state_b,
+            replace(base, chain_impl="seq", quad_impl="xla"),
+            mesh,
+        )
+        np.testing.assert_allclose(hist_l.cost, hist_s.cost, rtol=1e-7)
+        np.testing.assert_allclose(st_l.mu, st_s.mu, atol=1e-7)
