@@ -190,29 +190,42 @@ def ltv_transition_and_gramian(
     """Phi(dt, 0) and controllability Gramian Q for one segment.
 
     ``a_seg [P, s, s]`` / ``b_seg [P, s, m]`` are piecewise-constant system
-    matrices over P equal sub-intervals of the segment (the reference uses
-    P = 5 with lookup floor(4 t / dt), gp/LTV_prior.h:54-59, 187-197).
+    matrices over P - 1 equal sub-intervals of the segment (the reference
+    uses P = 5 with lookup floor(4 t / dt), gp/LTV_prior.h:54-59, 187-197 —
+    slot 4 is active only at the measure-zero endpoint t = dt and does not
+    enter the converged solution).
 
         Phi' = A(t) Phi,  Phi(0) = I
         Q'   = A Q + Q A^T + B B^T,  Q(0) = 0
+
+    Integrated PIECE BY PIECE: each sub-interval runs fixed-step RK4 with
+    its own constant (A_j, B_j), so no RK4 stage ever samples across a
+    coefficient discontinuity.  (A single RK4 sweep with an in-stage
+    floor(4 t / dt) lookup — the previous implementation — has O(h)
+    boundary-stage errors: ~1e-3 at nsteps = 200 on strongly time-varying
+    systems, measured against a DOP853 1e-13 oracle in
+    tests/test_ltv_oracle.py.  The piecewise sweep converges at clean 4th
+    order to the same limit the reference's adaptive rkf45-at-1e-12
+    reaches.)  ``nsteps`` is the total step count across the segment.
     """
     p = a_seg.shape[0]
     s = a_seg.shape[1]
+    pieces = max(p - 1, 1)
+    h_piece = delta_t / pieces
+    per = max(nsteps // pieces, 1)
 
-    def lookup(t):
-        idx = min(int(np.floor(4.0 * t / delta_t)), p - 1)
-        return a_seg[idx], b_seg[idx]
-
-    def phi_rhs(t, phi):
-        a, _ = lookup(t)
-        return matmul(a, phi)
-
-    def q_rhs(t, q):
-        a, b = lookup(t)
-        return matmul(a, q) + matmul(q, a.T) + matmul(b, b.T)
-
-    phi = _rk4_matrix(phi_rhs, np.eye(s), 0.0, delta_t, nsteps)
-    q = _rk4_matrix(q_rhs, np.zeros((s, s)), 0.0, delta_t, nsteps)
+    phi = np.eye(s)
+    q = np.zeros((s, s))
+    for j in range(pieces):
+        a, b = a_seg[j], b_seg[j]
+        bbt = matmul(b, b.T)
+        phi = _rk4_matrix(
+            lambda t, y, a=a: matmul(a, y), phi, 0.0, h_piece, per
+        )
+        q = _rk4_matrix(
+            lambda t, y, a=a, bbt=bbt: matmul(a, y) + matmul(y, a.T) + bbt,
+            q, 0.0, h_piece, per,
+        )
     return phi, q
 
 
