@@ -139,7 +139,9 @@ def trials_budget_probe(sizes=(128, 256)):
     for n in sizes:
         graph_b, state_b = build_batch(64, n, 2, 4)
         g0 = jax.tree.map(lambda x: x[0], graph_b)
-        eng = LocalEngine(g0, replace(base, fused_trials="off"))
+        # fused_trials="auto" so the engine builds the spec cache (it is
+        # skipped entirely when both fused modes are "off")
+        eng = LocalEngine(g0, replace(base, fused_trials="auto"))
         sp = eng._fused_spec_cache
         if sp is None:
             print(f"[trials-probe] N={n}: ineligible specs", flush=True)
