@@ -75,12 +75,35 @@ from .chain_lanes import (
 )
 from .quad_lanes import _M_CHUNK
 
-# Empirical VMEM budget (f32/v5e): total elements per 128-lane row, summed
-# over all resident arrays (inputs double-buffered, outputs, scratch).  The
-# chain kernel's long-standing N=512/RB=1 configuration corresponds to
-# ~50k row-elements total, so the per-kernel ceilings are calibrated per
-# kernel; this one is probed on device (scripts/fused_trials_probe.py).
-_MAX_ROW_ELEMS_TRIALS = 24576
+# Empirical VMEM budgets (f32/v5e): total elements per 128-lane row,
+# summed over all resident arrays (inputs double-buffered, outputs,
+# scratch).  Round-4 device probes (scripts/r4_followup.py + the
+# bench-shape probe in PERF section 27) showed the real v5e ceiling is
+# FAR above the original 24,576 (the 16M scoped-vmem cap it was
+# calibrated against is not the 128MB physical VMEM), and the best
+# layout is shape-dependent — three measured regimes:
+#
+#   short chains (n*s*s < 2048, e.g. N=32 s=4): 58k admits cap=8 —
+#     B=1024 measured 648k prob-iters/s vs 286k at the old cap=3 budget;
+#   N=128-class (2048 <= n*s*s < 4096): the SEPARATE path wins every
+#     probed fused layout (28.7k vs 23.6-28.1k at cap 2-3) — keep the
+#     conservative budget, whose cap<2 outcome declines the kernel;
+#   long chains (n*s*s >= 4096, e.g. N=256): 140k admits cap=3, which
+#     beats the separate path 30% (15.9k vs 12.2k) — the separate trial
+#     chain has degraded at these shapes, and riding the fused evaluator
+#     also keeps the section-14-accurate path.
+_MAX_ROW_ELEMS_TRIALS = 58_000
+_MAX_ROW_ELEMS_TRIALS_MID = 24_576
+_MAX_ROW_ELEMS_TRIALS_LONG = 140_000
+
+
+def _trials_budget(n: int, s: int) -> int:
+    nss = n * s * s
+    if nss >= 4096:
+        return _MAX_ROW_ELEMS_TRIALS_LONG
+    if nss >= 2048:
+        return _MAX_ROW_ELEMS_TRIALS_MID
+    return _MAX_ROW_ELEMS_TRIALS
 
 
 class NLTrialSpec(NamedTuple):
@@ -173,9 +196,10 @@ def _layout_trials(n, s, n_trials, nl_specs, lin_specs,
     units full at small B, where a trial-per-grid-step layout was measured
     2x slower than the separate-kernel path (one 64-problem row per step)."""
     per_row = row_elems_trials(n, s, n_trials, nl_specs, lin_specs)
-    if per_row > _MAX_ROW_ELEMS_TRIALS:
+    budget = _trials_budget(n, s)
+    if per_row > budget:
         return 0, 0
-    cap = min(8, _MAX_ROW_ELEMS_TRIALS // per_row)
+    cap = min(8, budget // per_row)
     if cap < 2:
         # a single-row budget leaves the kernel width-starved: at cap=1
         # neither extra trials nor extra batch rows can share a grid step
