@@ -12,14 +12,16 @@ measurements, full NGD iterations including the backtracking line search.
 The TPU run uses the lanes Pallas chain + quadrature kernels (the fast
 path; kernels/chain_lanes.py, kernels/quad_lanes.py).
 
-Operating point: B=1024/N=32, the measured throughput peak after the
-batch-on-lanes quadrature kernel landed (B sweep: 70.5k / 74.1k / 77.2k /
-80.4k prob-iters/s at B=64/256/512/1024, slow device mode — the kernel
-removed the HBM working set that used to make B=1024 regress).  The
-legacy B=64 point (rounds 1-2 comparability) is also measured and printed
-to stderr.  The sandbox device shows two performance modes (~1.5x apart
-for the same program — PERF.md section 5); treat cross-round absolute
-comparisons accordingly.
+Operating point: B=1024/N=32.  Round-4 state: the iteration is two Pallas
+programs (kernels/fused_gradient.py + kernels/fused_trials.py at the
+probed full-row layouts, PERF.md sections 20/27) — measured 651.9k
+prob-iters/s at B=1024 and 160.4k at the legacy B=64 point (round 3:
+188.7k / 104.0k).  The legacy B=64 point (rounds 1-2 comparability) is
+also measured and printed to stderr.  The sandbox device shows two
+performance modes (~1.5x apart for the same program — PERF.md section 5);
+treat cross-round absolute comparisons accordingly.  Run via
+scripts/bench_session.sh to execute the tests/device/ regression gates
+first (11/11 on hardware this round).
 
 Timing notes for this sandbox: the remote TPU compile helper has a
 per-process session warmup of ~3-7 minutes; a tiny warmup compile is issued
