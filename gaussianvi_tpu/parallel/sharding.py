@@ -204,7 +204,8 @@ class FactorShardEngine(LocalEngine):
 
     carry_axes = ("dp",)
 
-    def __init__(self, graph: FactorGraph, config, axis: str = "fp"):
+    def __init__(self, graph: FactorGraph, config, axis: str = "fp",
+                 fp_size: int | None = None):
         # "auto" should have been resolved against the mesh by
         # optimize_sharded (resolve_sharded_impls); an engine constructed
         # directly without a mesh falls back to the scan paths (the
@@ -222,11 +223,17 @@ class FactorShardEngine(LocalEngine):
                 config,
                 quad_impl="lanes" if config.chain_impl == "lanes" else "xla",
             )
-        # the fused trial/gradient kernels evaluate only the LOCAL factor
-        # shard but run_gvi's fused branches sum their per-factor costs
-        # without the engine's psum reduction — they are single-device
-        # paths until they grow a sharded reduction
-        config = replace(config, fused_trials="off", fused_gradient="off")
+        if fp_size != 1:
+            # the fused trial/gradient kernels evaluate only the LOCAL
+            # factor shard but run_gvi's fused branches sum their
+            # per-factor costs without the engine's psum reduction — they
+            # are single-device paths until they grow a sharded reduction.
+            # On a dp-ONLY mesh (fp axis size 1, e.g. parallel restarts
+            # across chips) every device holds its problems' FULL factor
+            # sets, the fp psums are size-1 no-ops, and the fused kernels
+            # are exactly as valid as in the local engine — keep them.
+            config = replace(config, fused_trials="off",
+                             fused_gradient="off")
         super().__init__(
             graph, config, use_pallas=False, quad_impl=config.quad_impl
         )
@@ -334,7 +341,9 @@ def optimize_sharded(
         graph_loc = _null_nonlinear_slice_offsets(graph_loc)
 
         def one(graph_i, state_i):
-            engine = FactorShardEngine(graph_i, config)
+            engine = FactorShardEngine(
+                graph_i, config, fp_size=mesh.shape["fp"]
+            )
             return run_gvi(engine, state_i, config, method)
 
         return jax.vmap(one)(graph_loc, state_loc)

@@ -81,6 +81,41 @@ class TestShardedLanesEquivalence:
             )
             np.testing.assert_allclose(st_sh.mu[i], st_l.mu, atol=1e-7)
 
+    def test_dp_only_mesh_runs_fused_kernels(self):
+        """On a dp-only mesh (fp=1: parallel restarts across chips) the
+        fused trial+gradient kernels stay ENABLED — every device holds
+        full factor sets and the fp psums are size-1 no-ops.  Interpret
+        mode inside shard_map, vs the local fused run."""
+        from gaussianvi_tpu.inference.engine import LocalEngine
+
+        (graph_b, state_b), graphs, states = _problems(4)
+        mesh = make_mesh(4, 1)
+        config = GVIConfig(
+            niters=3, niters_lowtemp=3, step_size_base=0.9,
+            chain_impl="lanes", quad_impl="lanes",
+        )
+        # sanity: the engine keeps the fused paths when fp_size == 1
+        from gaussianvi_tpu.parallel.sharding import FactorShardEngine
+
+        g0 = jax.tree.map(lambda x: x[0], graph_b)
+        assert FactorShardEngine(g0, config, fp_size=1).fused_trials_ready
+        assert FactorShardEngine(
+            g0, config, fp_size=1
+        ).fused_gradient_ready
+        assert not FactorShardEngine(
+            g0, config, fp_size=2
+        ).fused_trials_ready
+
+        st_sh, hist_sh = optimize_sharded(
+            graph_b, state_b, config, mesh, check_vma=False
+        )
+        for i, (g, s0) in enumerate(zip(graphs, states)):
+            st_l, hist_l = optimize(g, s0, config, method="ngd")
+            np.testing.assert_allclose(
+                hist_sh.cost[i], hist_l.cost, rtol=1e-7
+            )
+            np.testing.assert_allclose(st_sh.mu[i], st_l.mu, atol=1e-7)
+
     def test_sharded_lanes_matches_sharded_scans(self):
         """The two sharded backends agree with each other (same psum
         structure, different chain/quad kernels)."""
