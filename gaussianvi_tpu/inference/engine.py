@@ -252,6 +252,16 @@ class LocalEngine:
         )
         return ld, fc_nl + fc_lin
 
+    def reduce_trial_costs(self, trial_lds, fc_t):
+        """Total per-trial costs from the fused kernel's outputs:
+        0.5 logdet + the (already tempered) per-factor sums.  Sharded
+        engines override to psum their sharded batches so every device
+        sees the same [T] costs and the accept decisions stay lockstep."""
+        return 0.5 * trial_lds + sum(
+            (jnp.sum(f, axis=-1) for f in fc_t),
+            jnp.zeros_like(trial_lds),
+        )
+
     def fused_gradient(self, state, temperature):
         """The whole NGD gradient step in one kernel: covariance of the
         CURRENT iterate, joint (Vdmu, Vddmu) assembly, and both

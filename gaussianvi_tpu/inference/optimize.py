@@ -284,10 +284,7 @@ def make_gvi_step(engine, config: GVIConfig, method: str = "ngd"):
                 state, dmu, dprec, trials
             )
             fc_t = temper(trial_fcs, temperature)
-            trial_costs = 0.5 * trial_lds + sum(
-                (jnp.sum(f, axis=-1) for f in fc_t),
-                jnp.zeros_like(trial_lds),
-            )
+            trial_costs = engine.reduce_trial_costs(trial_lds, fc_t)
             ok = trial_costs < cost_iter  # NaN costs compare False
             accepted = jnp.any(ok)
             sel = jnp.where(accepted, jnp.argmax(ok), n_trials - 1)

@@ -224,16 +224,16 @@ class FactorShardEngine(LocalEngine):
                 quad_impl="lanes" if config.chain_impl == "lanes" else "xla",
             )
         if fp_size != 1:
-            # the fused trial/gradient kernels evaluate only the LOCAL
-            # factor shard but run_gvi's fused branches sum their
-            # per-factor costs without the engine's psum reduction — they
-            # are single-device paths until they grow a sharded reduction.
-            # On a dp-ONLY mesh (fp axis size 1, e.g. parallel restarts
-            # across chips) every device holds its problems' FULL factor
-            # sets, the fp psums are size-1 no-ops, and the fused kernels
-            # are exactly as valid as in the local engine — keep them.
-            config = replace(config, fused_trials="off",
-                             fused_gradient="off")
+            # the fused GRADIENT kernel assembles (Vdmu, Vddmu) and runs
+            # the natural-gradient solve IN-kernel from the local factor
+            # shard only — under fp sharding the joint must be psum'd
+            # BEFORE the solve, so that kernel stays single-device.  The
+            # fused TRIAL kernel is cost-only: its per-shard factor costs
+            # reduce through reduce_trial_costs (psum over fp below), so
+            # it stays enabled.  On a dp-ONLY mesh (fp=1, e.g. parallel
+            # restarts across chips) the fp psums are size-1 no-ops and
+            # BOTH kernels are exactly as valid as in the local engine.
+            config = replace(config, fused_gradient="off")
         super().__init__(
             graph, config, use_pallas=False, quad_impl=config.quad_impl
         )
@@ -248,6 +248,21 @@ class FactorShardEngine(LocalEngine):
         if lin:
             # linear factors are replicated within the fp group — no psum
             total = total + sum(jnp.sum(f) for f in lin)
+        return total
+
+    def reduce_trial_costs(self, trial_lds, fc_t):
+        """Fused-trial costs under fp sharding: the kernel evaluated this
+        device's nonlinear shard only — psum those sums over fp; the
+        linear batches and the chain logdet are fp-replicated."""
+        n_nl = len(self.graph.nonlinear)
+        nl, lin = fc_t[:n_nl], fc_t[n_nl:]
+        total = 0.5 * trial_lds
+        if nl:
+            total = total + lax.psum(
+                sum(jnp.sum(f, axis=-1) for f in nl), self.axis
+            )
+        if lin:
+            total = total + sum(jnp.sum(f, axis=-1) for f in lin)
         return total
 
     def ngd_gradients(self, mu, cov_diag, cov_off, temperature,

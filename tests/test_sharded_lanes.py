@@ -102,9 +102,40 @@ class TestShardedLanesEquivalence:
         assert FactorShardEngine(
             g0, config, fp_size=1
         ).fused_gradient_ready
+        # fp>=2: the trial kernel stays (psum'd reduction) but the
+        # gradient kernel (in-kernel solve over the global Vddmu) goes
+        assert FactorShardEngine(g0, config, fp_size=2).fused_trials_ready
         assert not FactorShardEngine(
             g0, config, fp_size=2
-        ).fused_trials_ready
+        ).fused_gradient_ready
+
+        st_sh, hist_sh = optimize_sharded(
+            graph_b, state_b, config, mesh, check_vma=False
+        )
+        for i, (g, s0) in enumerate(zip(graphs, states)):
+            st_l, hist_l = optimize(g, s0, config, method="ngd")
+            np.testing.assert_allclose(
+                hist_sh.cost[i], hist_l.cost, rtol=1e-7
+            )
+            np.testing.assert_allclose(st_sh.mu[i], st_l.mu, atol=1e-7)
+
+    def test_fp_sharded_fused_trials_match_local(self):
+        """Under fp>=2 the fused TRIAL kernel stays enabled — each shard
+        evaluates its nonlinear factors in-kernel and the per-trial costs
+        psum through reduce_trial_costs; the fused GRADIENT kernel (whose
+        in-kernel solve needs the global Vddmu) is disabled."""
+        from gaussianvi_tpu.parallel.sharding import FactorShardEngine
+
+        (graph_b, state_b), graphs, states = _problems(2, num_states=8)
+        mesh = make_mesh(2, 2)
+        config = GVIConfig(
+            niters=3, niters_lowtemp=3, step_size_base=0.9,
+            chain_impl="lanes", quad_impl="lanes",
+        )
+        g0 = jax.tree.map(lambda x: x[0], graph_b)
+        eng = FactorShardEngine(g0, config, fp_size=2)
+        assert eng.fused_trials_ready
+        assert not eng.fused_gradient_ready
 
         st_sh, hist_sh = optimize_sharded(
             graph_b, state_b, config, mesh, check_vma=False
