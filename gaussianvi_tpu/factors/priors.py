@@ -212,11 +212,15 @@ def ltv_transition_and_gramian(
     s = a_seg.shape[1]
     pieces = max(p - 1, 1)
     h_piece = delta_t / pieces
-    per = max(nsteps // pieces, 1)
+    # distribute nsteps over the pieces so the TOTAL equals the request
+    # (floor-per-piece alone would quantize it to a multiple of `pieces`,
+    # silently coarsening non-multiple step counts)
+    base, extra = divmod(max(nsteps, pieces), pieces)
 
     phi = np.eye(s)
     q = np.zeros((s, s))
     for j in range(pieces):
+        per = base + (1 if j < extra else 0)
         a, b = a_seg[j], b_seg[j]
         bbt = matmul(b, b.T)
         phi = _rk4_matrix(

@@ -110,7 +110,14 @@ class _Carry(NamedTuple):
     state: GaussianState
     # covariance + logdet of state.precision, carried so the accepted
     # line-search trial's chain computation is reused instead of redone at
-    # the top of the next iteration (identical input -> identical result)
+    # the top of the next iteration (identical input -> identical result).
+    # EXCEPTION: on the fused-gradient path these two fields lag one
+    # update — the gradient kernel recomputes covariance from
+    # state.precision in-VMEM at the TOP of every iteration and the loop
+    # rebinds before any use, so no chain call refreshes them after an
+    # accepted step.  External consumers of make_gvi_step's carry must
+    # read covariance from the step's records (or recompute), not from
+    # these fields, when engine.fused_gradient_ready is set.
     cov_diag: jnp.ndarray
     cov_off: jnp.ndarray
     logdet: jnp.ndarray
@@ -182,6 +189,14 @@ def make_gvi_step(engine, config: GVIConfig, method: str = "ngd"):
         fc_iter = temper(fc_raw, temperature)
         cost_iter = engine.reduce_fc(fc_iter) + 0.5 * logdet
 
+        if method == "ngd":
+            # trial schedule: base * 0.75^t, t = 1..niters_backtrack+1
+            # (GVI-GH-impl.h:76-86; the pow(base, B) line is commented
+            # out upstream) — shared by both gradient paths below
+            n_trials = config.niters_backtrack + 1
+            trials = config.step_size_base * (
+                config.step_decay ** jnp.arange(1, n_trials + 1, dtype=dtype)
+            )
         if method == "ngd" and use_fused_grad:
             # one kernel: covariance of the current iterate (rebinding the
             # carried blocks — same values, recomputed in-VMEM), gradient
@@ -193,10 +208,6 @@ def make_gvi_step(engine, config: GVIConfig, method: str = "ngd"):
                 engine.fused_gradient(state, temperature)
             )
             dmu = jnp.where(engine.all_finite(dmu), dmu, dmu_fb)
-            n_trials = config.niters_backtrack + 1
-            trials = config.step_size_base * (
-                config.step_decay ** jnp.arange(1, n_trials + 1, dtype=dtype)
-            )
         elif method == "ngd":
             vdmu, vddmu = engine.ngd_gradients(
                 state.mu, cov_diag, cov_off, temperature, eval_dtype
@@ -210,13 +221,6 @@ def make_gvi_step(engine, config: GVIConfig, method: str = "ngd"):
             # on backtracking to reject bad steps, ngd/NGD-GH-impl.h:57-62.)
             dmu, fallback = engine.solve_pair(vddmu, state.precision, -vdmu)
             dmu = jnp.where(engine.all_finite(dmu), dmu, fallback)
-            # trial schedule: base * 0.75^t, t = 1..niters_backtrack+1
-            # (GVI-GH-impl.h:76-86; the pow(base, B) line is commented
-            # out upstream)
-            n_trials = config.niters_backtrack + 1
-            trials = config.step_size_base * (
-                config.step_decay ** jnp.arange(1, n_trials + 1, dtype=dtype)
-            )
         else:
             grad_step = config.step_size_base  # pow(base, 1)
             dmu, dprec = engine.prox_gradients(

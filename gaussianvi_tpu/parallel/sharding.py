@@ -165,7 +165,8 @@ def _history_spec(graph: FactorGraph) -> GVIHistory:
     )
 
 
-def resolve_sharded_impls(config: GVIConfig, mesh: Mesh) -> GVIConfig:
+def resolve_sharded_impls(config: GVIConfig, mesh: Mesh,
+                          num_states: int | None = None) -> GVIConfig:
     """Resolve ``chain_impl``/``quad_impl`` "auto" by the MESH's device
     platform (not the process default: a TPU-attached process may run a
     dryrun over a virtual CPU mesh, and vice versa won't happen, but the
@@ -185,7 +186,17 @@ def resolve_sharded_impls(config: GVIConfig, mesh: Mesh) -> GVIConfig:
     platform = mesh.devices.flat[0].platform
     new = {}
     if config.chain_impl == "auto":
-        new["chain_impl"] = "lanes" if platform == "tpu" else "seq"
+        if platform == "tpu":
+            new["chain_impl"] = "lanes"
+        else:
+            # same scan-path rule the engines use off-TPU: honor the
+            # assoc_threshold knob (log-depth scans for very long chains)
+            new["chain_impl"] = (
+                "assoc"
+                if num_states is not None
+                and num_states >= config.assoc_threshold
+                else "seq"
+            )
     if config.quad_impl == "auto":
         chain = new.get("chain_impl", config.chain_impl)
         new["quad_impl"] = "lanes" if chain == "lanes" else "xla"
@@ -337,7 +348,7 @@ def optimize_sharded(
     kernels in Pallas INTERPRET mode under shard_map (CPU-mesh validation;
     jax 0.9 limitation).
     """
-    config = resolve_sharded_impls(config, mesh)
+    config = resolve_sharded_impls(config, mesh, graph_b.num_states)
     graph_spec = _graph_specs(graph_b, batched=True)
     state_spec = _state_spec(batched=True)
     hist_spec = _history_spec(graph_b)

@@ -97,6 +97,40 @@ class TestUnit:
             atol=1e-10,
         )
 
+    def test_dynamic_starts_path(self):
+        """Non-consecutive factor supports (slice_offset None, SMEM starts
+        dispatch in-kernel) — the hand-unrolled branch the slice-offset
+        tests never reach.  Scrambled subset of states, anchors included."""
+        import jax.numpy as jnp
+        from dataclasses import replace as dreplace
+
+        graph, init, _ = build_chain_estimation(
+            num_states=8, dim_x=2, gh_degree=4, seed=0
+        )
+        fb = graph.nonlinear[0]
+        order = np.asarray([5, 0, 3, 7, 2], dtype=np.int32)
+        fb_scr = dreplace(
+            fb,
+            start=jnp.asarray(order),
+            params=jax.tree.map(lambda l: l[order], fb.params),
+            slice_offset=None,
+        )
+        graph = dreplace(graph, nonlinear=(fb_scr,))
+        from dataclasses import replace as drep
+
+        config, config_off = _configs()
+        config_off = drep(config_off, fused_trials="off")
+        eng = LocalEngine(graph, config)
+        assert eng.fused_gradient_ready
+        assert eng.fused_trials_ready
+        st_f, hist_f = optimize(graph, init, config, method="ngd")
+        st_o, hist_o = optimize(graph, init, config_off, method="ngd")
+        np.testing.assert_allclose(hist_f.cost, hist_o.cost, rtol=1e-9)
+        np.testing.assert_allclose(st_f.mu, st_o.mu, atol=1e-10)
+        np.testing.assert_allclose(
+            hist_f.cov_diag, hist_o.cov_diag, atol=1e-9
+        )
+
     def test_temperature_division(self):
         """The temperature enters the fused kernel as a per-lane operand;
         gradients at T=10 must equal the separate path at T=10."""
