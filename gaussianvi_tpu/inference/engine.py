@@ -115,11 +115,22 @@ class LocalEngine:
                 "kernel's VMEM budget)"
             )
 
-    def _build_fused_specs(self, config):
+    def _build_fused_specs(self, config, allow_prep: bool = False):
         """Shared static eligibility + operand prep for the fused trial AND
         gradient kernels (they consume the SAME flat operand tuple:
         quadrature rules + linear residual forms).  Returns
-        (nl_specs, lin_specs, flat, eval_dtype) or None when ineligible."""
+        (nl_specs, lin_specs, flat, eval_dtype, preps) or None when
+        ineligible.
+
+        ``allow_prep``: marginal-dependent params (``lanes_prep``, e.g. SDF
+        patches) depend only on the factor MEANS.  The trial kernel forms
+        its trial means IN-kernel, so prep batches disqualify it
+        (allow_prep=False); the GRADIENT kernel evaluates at the current
+        iterate whose means are known before the call, so its prep leaves
+        can be computed per call (allow_prep=True) — ``preps`` then holds
+        one ``(prep_fn, start, slice_offset, n_leaves)`` per prep batch
+        (None for static batches) and the corresponding ``flat`` slots
+        carry None placeholders filled by :meth:`fused_gradient`."""
         from ..kernels.fused_trials import (
             LinTrialSpec,
             NLTrialSpec,
@@ -136,24 +147,43 @@ class LocalEngine:
         )
         if eval_dtype is not None and eval_dtype != jnp.dtype(jnp.bfloat16):
             return None
-        nl_specs, lin_specs, flat = [], [], []
+        nl_specs, lin_specs, flat, preps = [], [], [], []
         for fb in g.nonlinear:
             if fb.lanes_cost is None or fb.nb != 1:
                 return None
-            if fb.lanes_prep is not None:
-                # marginal-dependent params (SDF patches) can't be formed
-                # inside the fused kernels' in-kernel evaluation loops
+            if fb.lanes_prep is not None and not allow_prep:
                 return None
             if fb.slice_offset is None and not fb.shared_start:
                 return None
-            leaves = (
-                tuple(jax.tree.leaves(fb.params))
-                if fb.params is not None else ()
-            )
+            k = fb.start.shape[0]
+            if fb.lanes_prep is not None:
+                out = jax.eval_shape(
+                    fb.lanes_prep,
+                    jax.ShapeDtypeStruct((k, fb.dim), fb.nodes.dtype),
+                )
+                leaf_shapes = tuple(
+                    l.shape[1:] for l in jax.tree.leaves(out)
+                )
+                leaves = (None,) * len(leaf_shapes)
+                leaf_idx = len(flat) + (
+                    1 if fb.slice_offset is None else 0
+                ) + 2  # after (starts?), nodes, weights
+                preps.append((
+                    fb.lanes_prep, fb.start, fb.slice_offset, leaf_idx,
+                    len(leaf_shapes),
+                ))
+            else:
+                leaves_v = (
+                    tuple(jax.tree.leaves(fb.params))
+                    if fb.params is not None else ()
+                )
+                leaf_shapes = tuple(l.shape[1:] for l in leaves_v)
+                leaves = leaves_v
+                preps.append(None)
             nl_specs.append(NLTrialSpec(
                 fb.lanes_cost,
-                tuple(l.shape[1:] for l in leaves),
-                fb.start.shape[0],
+                leaf_shapes,
+                k,
                 fb.nodes.shape[0],
                 fb.slice_offset,
             ))
@@ -184,7 +214,10 @@ class LocalEngine:
             if lb.slice_offset is None:
                 flat.append(lb.start)
             flat += [a, lam_r, pm, prec_c]
-        return tuple(nl_specs), tuple(lin_specs), tuple(flat), eval_dtype
+        return (
+            tuple(nl_specs), tuple(lin_specs), tuple(flat), eval_dtype,
+            tuple(preps),
+        )
 
     def _build_fused_trials(self, config):
         """Static eligibility + operand prep for the fused line-search trial
@@ -198,7 +231,7 @@ class LocalEngine:
             return None
         if self._fused_spec_cache is None:
             return None
-        nl_specs, lin_specs, flat, eval_dtype = self._fused_spec_cache
+        nl_specs, lin_specs, flat, eval_dtype, _ = self._fused_spec_cache
         g = self.graph
         n, s = g.num_states, g.state_dim
         n_trials = config.niters_backtrack + 1
@@ -214,15 +247,27 @@ class LocalEngine:
     def _build_fused_gradient(self, config):
         """Static eligibility + operand prep for the fused gradient kernel
         (:mod:`..kernels.fused_gradient`); None when ineligible.  Shares
-        the trial kernel's operand tuple."""
+        the trial kernel's operand tuple; additionally admits
+        ``lanes_prep`` factor batches (SDF patches) — the gradient
+        evaluates at the CURRENT iterate, so the marginal-dependent
+        leaves are computed per call from the current means and spliced
+        into the flat operands (the trial kernel cannot do this: its
+        trial means only exist in-kernel)."""
         from ..kernels.fused_gradient import (
             grad_fits_lanes,
             make_gradient_vmappable,
         )
 
-        if self._fused_spec_cache is None:
+        specs = self._fused_spec_cache
+        if specs is None and self.quad_impl == "lanes":
+            # the strict (trial-kernel) build may have failed solely on a
+            # lanes_prep batch; retry permissively — but only on the lanes
+            # fast path (quad_impl is the platform gate: off-TPU it is
+            # "xla" and the fused kernels would run interpreted)
+            specs = self._build_fused_specs(config, allow_prep=True)
+        if specs is None:
             return None
-        nl_specs, lin_specs, flat, eval_dtype = self._fused_spec_cache
+        nl_specs, lin_specs, flat, eval_dtype, preps = specs
         g = self.graph
         n, s = g.num_states, g.state_dim
         if not grad_fits_lanes(n, s, nl_specs, lin_specs):
@@ -231,7 +276,7 @@ class LocalEngine:
             n, s, nl_specs, lin_specs, eval_dtype=eval_dtype,
         )
         self.fused_grad_eval_dtype = eval_dtype
-        return fn, flat
+        return fn, flat, preps
 
     @property
     def fused_trials_ready(self) -> bool:
@@ -266,8 +311,29 @@ class LocalEngine:
         """The whole NGD gradient step in one kernel: covariance of the
         CURRENT iterate, joint (Vdmu, Vddmu) assembly, and both
         natural-gradient solves.  Returns (cov_diag, cov_off, logdet,
-        dprec BlockTridiag, dmu, dmu_fallback)."""
-        fn, flat = self._fused_gradient
+        dprec BlockTridiag, dmu, dmu_fallback).
+
+        ``lanes_prep`` batches' marginal-dependent leaves (SDF patches)
+        are computed here from the current means (XLA gathers, exactly
+        the separate path's prep) and spliced into the operand slots the
+        spec builder reserved."""
+        fn, flat, preps = self._fused_gradient
+        if any(p is not None for p in preps):
+            flat = list(flat)
+            for p in preps:
+                if p is None:
+                    continue
+                prep_fn, start, slice_offset, leaf_idx, n_leaves = p
+                if slice_offset is not None:
+                    k = start.shape[0]
+                    mu_k = jax.lax.slice_in_dim(
+                        state.mu, slice_offset, slice_offset + k, axis=0
+                    )
+                else:
+                    mu_k = state.mu[start]
+                leaves = jax.tree.leaves(prep_fn(mu_k))
+                flat[leaf_idx:leaf_idx + n_leaves] = leaves
+            flat = tuple(flat)
         covd, covo, ld, dpd, dpo, dmu, dfb = fn(
             state.mu, state.precision.diag, state.precision.off,
             temperature, *flat,

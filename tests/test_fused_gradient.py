@@ -250,6 +250,32 @@ class TestEndToEnd:
         )
 
 
+class TestLanesPrepComposition:
+    def test_patch_planner_runs_fused_gradient(self):
+        """lanes_prep (SDF patch) batches are gradient-kernel eligible:
+        the patches depend only on the CURRENT means, computed per call
+        and spliced into the reserved operand slots.  The trial kernel
+        stays off (its trial means only exist in-kernel)."""
+        from gaussianvi_tpu.examples.point3d_planning import (
+            build_point3d_planning,
+        )
+
+        graph, init, cfg, _ = build_point3d_planning(
+            gh_degree=3, patch_size=8
+        )
+        cfg = replace(cfg, niters=3, niters_lowtemp=3,
+                      chain_impl="lanes", quad_impl="lanes")
+        eng = LocalEngine(graph, cfg)
+        assert eng.fused_gradient_ready
+        assert not eng.fused_trials_ready
+        st_f, h_f = optimize(graph, init, cfg, method="ngd")
+        st_o, h_o = optimize(
+            graph, init, replace(cfg, fused_gradient="off"), method="ngd"
+        )
+        np.testing.assert_allclose(h_f.cost, h_o.cost, rtol=1e-9)
+        np.testing.assert_allclose(st_f.mu, st_o.mu, atol=1e-10)
+
+
 class TestEvalDtypeComposition:
     def test_bf16_keeps_fused_ready(self):
         graph, _, _ = build_chain_estimation(
