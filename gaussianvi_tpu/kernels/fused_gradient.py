@@ -402,10 +402,15 @@ def _grad_kernel(n, s, nl_specs, lin_specs, eval_dtype,
                         lin_gradient_nb1(refs, k, sp, i, mu_c)
 
     # ---- phase 2: backward sweep fused with edge inversion + gradients -----
-    def bwd_body(kk, gpiv_next):
+    # the carry is the backward MESSAGE (zeros init), not the pivot: a
+    # fori carry seeded from a ref READ is vma-varying under compiled
+    # shard_map while the body's output is not, and the scan then fails to
+    # type-check — the message form (the chain kernel's pattern) keeps the
+    # init a plain constant
+    def bwd_body(kk, m_arr):
         i = n - 2 - kk
         f = _listify(fpiv_ref[i], s)
-        g = _listify(gpiv_next, s)
+        g = _listify(pd_ref[0, i + 1] + m_arr, s)
         off = _listify(po_ref[0, i], s)
         t = 2 * s
         joint = [[None] * t for _ in range(t)]
@@ -448,24 +453,24 @@ def _grad_kernel(n, s, nl_specs, lin_specs, eval_dtype,
                     def _(sp=sp, refs=refs, k=k):
                         lin_gradient_nb2(refs, k, sp, i, mu_i, mu_j)
 
-        # gpiv_i = D_i - B_i gpiv_{i+1}^{-1} B_i^T
+        # next message: m_i = -B_i gpiv_{i+1}^{-1} B_i^T
         lg = _chol(g, s)
         x = [[None] * s for _ in range(s)]
         for col in range(s):
             sol = _chol_solve_vec(lg, [off[col][r] for r in range(s)], s)
             for r in range(s):
                 x[r][col] = sol[r]
-        d_l = _listify(pd_ref[0, i], s)
-        gpiv_i = [[None] * s for _ in range(s)]
+        msg_i = [[None] * s for _ in range(s)]
         for a_ in range(s):
             for b_ in range(s):
-                acc = d_l[a_][b_]
+                acc = None
                 for r in range(s):
-                    acc = acc - off[a_][r] * x[r][b_]
-                gpiv_i[a_][b_] = acc
-        return _stack(gpiv_i, s)
+                    term = off[a_][r] * x[r][b_]
+                    acc = term if acc is None else acc + term
+                msg_i[a_][b_] = -acc
+        return _stack(msg_i, s)
 
-    jax.lax.fori_loop(0, n - 1, bwd_body, pd_ref[0, n - 1])
+    jax.lax.fori_loop(0, n - 1, bwd_body, zeros_m)
 
     # ---- phase 3: dprec = Vddmu - Lambda ------------------------------------
     def dprec_body(i, _):

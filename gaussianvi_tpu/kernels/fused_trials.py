@@ -466,11 +466,14 @@ def _trials_kernel(n, s, nl_specs, lin_specs, eval_dtype,
                         )
 
     # ---- backward sweep fused with edge inversion + factor eval -----------
-    def bwd_body(kk, gpiv_next):
+    # message-form carry with a zeros init (see fused_gradient's phase-2
+    # note: a ref-read-seeded fori carry is vma-varying under compiled
+    # shard_map while the body output is not, failing the scan type check)
+    def bwd_body(kk, m_arr):
         i = n - 2 - kk
         # edge i: joint [[fpiv_i, B_i], [B_i^T, gpiv_{i+1}]] -> inverse
         f = _listify(fpiv_ref[i], s)
-        g = _listify(gpiv_next, s)
+        g = _listify(_stack(trial_diag(i + 1), s) + m_arr, s)
         off = trial_off(i)
         t = 2 * s
         joint = [[None] * t for _ in range(t)]
@@ -514,25 +517,24 @@ def _trials_kernel(n, s, nl_specs, lin_specs, eval_dtype,
                             refs, k, sp, mu_i, mu_j, cii, cjj, cij
                         )
 
-        # gpiv_i = D_i(t) - B_i gpiv_{i+1}^{-1} B_i^T  for the next step
+        # next message: m_i = -B_i gpiv_{i+1}^{-1} B_i^T
         lg = _chol(g, s)
         x = [[None] * s for _ in range(s)]
         for col in range(s):
             sol = _chol_solve_vec(lg, [off[col][r] for r in range(s)], s)
             for r in range(s):
                 x[r][col] = sol[r]
-        d_l = trial_diag(i)
-        gpiv_i = [[None] * s for _ in range(s)]
+        msg_i = [[None] * s for _ in range(s)]
         for a_ in range(s):
             for b_ in range(s):
-                acc = d_l[a_][b_]
+                acc = None
                 for r in range(s):
-                    acc = acc - off[a_][r] * x[r][b_]
-                gpiv_i[a_][b_] = acc
-        return _stack(gpiv_i, s)
+                    term = off[a_][r] * x[r][b_]
+                    acc = term if acc is None else acc + term
+                msg_i[a_][b_] = -acc
+        return _stack(msg_i, s)
 
-    gpiv_last = _stack(trial_diag(n - 1), s)
-    jax.lax.fori_loop(0, n - 1, bwd_body, gpiv_last)
+    jax.lax.fori_loop(0, n - 1, bwd_body, zeros_m)
 
 
 # ---------------------------------------------------------------------------
