@@ -211,10 +211,24 @@ def expectation_phi(
     params: Any,
     eval_dtype=None,
 ) -> jnp.ndarray:
-    """E[phi] only (the line-search cost path needs no moments)."""
+    """E[phi] only (the line-search cost path needs no moments).
+
+    Cancellation-trust guarded: sparse-GH weights are signed
+    (quadrature/SparseGaussHermite.h:197-221), and a huge-spread marginal
+    can cancel the sum below the working precision's resolution — the f32
+    residue then carries an arbitrary (often hugely negative) value that
+    the line search would accept where f64 rejects (PERF.md sections
+    14/27).  When |sum w phi| falls under ~64 ulps of sum |w phi| the
+    estimate is poisoned to NaN, rejecting the trial (the same philosophy
+    as the chain kernels' pivot-trust guard; see
+    kernels/quad_lanes._cancel_tol)."""
     diff = _sigma_diffs(nodes, cov, eval_dtype)
     phi = eval_phi(cost_fn, diff + mu[:, None, :], params)
-    return einsum("km,m->k", phi, weights)
+    wphi = phi * weights[None, :]
+    tot = jnp.sum(wphi, axis=-1)
+    absum = jnp.sum(jnp.abs(wphi), axis=-1)
+    tol = 64.0 * float(jnp.finfo(tot.dtype).eps)
+    return jnp.where(jnp.abs(tot) < tol * absum, jnp.nan, tot)
 
 
 def ngd_local_gradients(

@@ -193,7 +193,11 @@ def ltv_transition_and_gramian(
     matrices over P - 1 equal sub-intervals of the segment (the reference
     uses P = 5 with lookup floor(4 t / dt), gp/LTV_prior.h:54-59, 187-197 —
     slot 4 is active only at the measure-zero endpoint t = dt and does not
-    enter the converged solution).
+    enter the converged solution).  CONVENTION for P != 5: the lookup
+    factor is derived as P - 1 (sub-interval j covers
+    ``[j dt/(P-1), (j+1) dt/(P-1))``, generalizing the reference's
+    hard-coded 4); callers providing a different P must supply matrices on
+    exactly that uniform grid — the last slot is never integrated over.
 
         Phi' = A(t) Phi,  Phi(0) = I
         Q'   = A Q + Q A^T + B B^T,  Q(0) = 0

@@ -99,9 +99,10 @@ class LocalEngine:
             raise ValueError(
                 "fused_trials='on' but the graph/config is not eligible "
                 "(needs lanes quad, batched linesearch, lanes_cost on every "
-                "nonlinear batch, nb<=2 linear batches, eval_dtype None or "
-                "bfloat16, and "
-                "a shape within the kernel's VMEM budget)"
+                "nonlinear batch with nb == 1 and no lanes_prep, nb<=2 "
+                "linear batches, eval_dtype None or bfloat16, and a shape "
+                "within the kernel's VMEM budget — see README 'Execution "
+                "paths & fused-kernel eligibility')"
             )
         self._fused_gradient = None
         if config.fused_gradient != "off":
@@ -110,9 +111,9 @@ class LocalEngine:
             raise ValueError(
                 "fused_gradient='on' but the graph/config is not eligible "
                 "(needs lanes quad, lanes_cost on every nonlinear batch "
-                "with nb == 1 and no lanes_prep, nb<=2 linear batches, "
-                "eval_dtype None or bfloat16, and a shape within the "
-                "kernel's VMEM budget)"
+                "with nb == 1, nb<=2 linear batches, eval_dtype None or "
+                "bfloat16, and a shape within the kernel's VMEM budget — "
+                "see README 'Execution paths & fused-kernel eligibility')"
             )
 
     def _build_fused_specs(self, config, allow_prep: bool = False):
@@ -128,9 +129,10 @@ class LocalEngine:
         (allow_prep=False); the GRADIENT kernel evaluates at the current
         iterate whose means are known before the call, so its prep leaves
         can be computed per call (allow_prep=True) — ``preps`` then holds
-        one ``(prep_fn, start, slice_offset, n_leaves)`` per prep batch
-        (None for static batches) and the corresponding ``flat`` slots
-        carry None placeholders filled by :meth:`fused_gradient`."""
+        one ``(prep_fn, start, slice_offset, leaf_idx, n_leaves)`` per prep
+        batch (None for static batches) and the ``flat`` slots at
+        ``leaf_idx:leaf_idx + n_leaves`` carry None placeholders filled by
+        :meth:`fused_gradient`."""
         from ..kernels.fused_trials import (
             LinTrialSpec,
             NLTrialSpec,
@@ -307,33 +309,36 @@ class LocalEngine:
             jnp.zeros_like(trial_lds),
         )
 
+    @staticmethod
+    def _splice_preps(flat, preps, mu):
+        """Fill the reserved ``lanes_prep`` operand slots: the
+        marginal-dependent leaves (SDF patches) are computed from the
+        CURRENT means (XLA gathers, exactly the separate path's prep)."""
+        if not any(p is not None for p in preps):
+            return flat
+        flat = list(flat)
+        for p in preps:
+            if p is None:
+                continue
+            prep_fn, start, slice_offset, leaf_idx, n_leaves = p
+            if slice_offset is not None:
+                k = start.shape[0]
+                mu_k = jax.lax.slice_in_dim(
+                    mu, slice_offset, slice_offset + k, axis=0
+                )
+            else:
+                mu_k = mu[start]
+            leaves = jax.tree.leaves(prep_fn(mu_k))
+            flat[leaf_idx:leaf_idx + n_leaves] = leaves
+        return tuple(flat)
+
     def fused_gradient(self, state, temperature):
         """The whole NGD gradient step in one kernel: covariance of the
         CURRENT iterate, joint (Vdmu, Vddmu) assembly, and both
         natural-gradient solves.  Returns (cov_diag, cov_off, logdet,
-        dprec BlockTridiag, dmu, dmu_fallback).
-
-        ``lanes_prep`` batches' marginal-dependent leaves (SDF patches)
-        are computed here from the current means (XLA gathers, exactly
-        the separate path's prep) and spliced into the operand slots the
-        spec builder reserved."""
+        dprec BlockTridiag, dmu, dmu_fallback)."""
         fn, flat, preps = self._fused_gradient
-        if any(p is not None for p in preps):
-            flat = list(flat)
-            for p in preps:
-                if p is None:
-                    continue
-                prep_fn, start, slice_offset, leaf_idx, n_leaves = p
-                if slice_offset is not None:
-                    k = start.shape[0]
-                    mu_k = jax.lax.slice_in_dim(
-                        state.mu, slice_offset, slice_offset + k, axis=0
-                    )
-                else:
-                    mu_k = state.mu[start]
-                leaves = jax.tree.leaves(prep_fn(mu_k))
-                flat[leaf_idx:leaf_idx + n_leaves] = leaves
-            flat = tuple(flat)
+        flat = self._splice_preps(flat, preps, state.mu)
         covd, covo, ld, dpd, dpo, dmu, dfb = fn(
             state.mu, state.precision.diag, state.precision.off,
             temperature, *flat,

@@ -106,6 +106,18 @@ class GVIHistory(NamedTuple):
     accepted_step: jnp.ndarray  # [niters]
 
 
+class LoopState(NamedTuple):
+    """The loop-carried scalars beyond (mu, Lambda): everything needed to
+    resume a run mid-trajectory exactly (SURVEY.md section 5.4 — the
+    reference has no mid-run checkpointing; covariance/logdet/factor
+    expectations are deterministically recomputable from the state and are
+    rebuilt on resume by :func:`make_gvi_init`)."""
+
+    temperature: jnp.ndarray
+    is_lowtemp: jnp.ndarray
+    converged: jnp.ndarray
+
+
 class _Carry(NamedTuple):
     state: GaussianState
     # covariance + logdet of state.precision, carried so the accepted
@@ -437,30 +449,77 @@ def _eval_dtype(config: GVIConfig, method: str):
 
 def make_gvi_init(
     engine, init_state: GaussianState, config: GVIConfig,
-    method: str = "ngd",
+    method: str = "ngd", loop: LoopState | None = None,
 ) -> _Carry:
     """The initial loop carry for :func:`make_gvi_step`'s body (covariance
-    + logdet + untempered factor expectations of the initial iterate)."""
+    + logdet + untempered factor expectations of the initial iterate).
+
+    ``loop`` overrides the fresh-start loop scalars — pass a checkpointed
+    :class:`LoopState` to resume mid-run: the chain/quadrature fields are
+    recomputed here from (mu, Lambda), which reproduces the uninterrupted
+    carry exactly (same function of the same inputs)."""
     dtype = init_state.mu.dtype
     cov_diag0, cov_off0, ld0 = engine.cov_logdet(init_state.precision)
     fc_raw0 = engine.factor_costs_raw(
         init_state.mu, cov_diag0, cov_off0, _eval_dtype(config, method)
     )
+    if loop is None:
+        loop = LoopState(
+            jnp.asarray(config.temperature, dtype),
+            jnp.ones((), bool),
+            jnp.zeros((), bool),
+        )
     init_carry = _Carry(
         init_state,
         cov_diag0,
         cov_off0,
         ld0,
         fc_raw0,
-        jnp.asarray(config.temperature, dtype),
-        jnp.ones((), bool),
-        jnp.zeros((), bool),
+        jnp.asarray(loop.temperature, dtype),
+        jnp.asarray(loop.is_lowtemp, bool),
+        jnp.asarray(loop.converged, bool),
     )
     # carry initializers must already have the variance type their updated
     # values will acquire (e.g. temperature becomes dp-varying after one
     # data-dependent escalation decision) for the scan to type-check under
     # shard_map's vma system
     return vary_tree(init_carry, engine.carry_axes)
+
+
+def run_gvi_carry(
+    engine,
+    init_state: GaussianState,
+    config: GVIConfig,
+    method: str = "ngd",
+    start_iteration: int = 0,
+    loop: LoopState | None = None,
+) -> tuple[_Carry, GVIHistory]:
+    """:func:`run_gvi` returning the FULL final carry (trace-time).
+
+    ``start_iteration``/``loop`` resume a checkpointed run: the scan covers
+    iterations ``start_iteration..niters-1`` (so the scheduled
+    ``niters_lowtemp`` temperature switch lands on the same global
+    iteration index as the uninterrupted run) and the loop scalars start
+    from the checkpointed :class:`LoopState`.
+
+    On the fused-gradient path the in-loop carry's (cov_diag, cov_off) lag
+    one accepted update (the kernel recomputes covariance in-VMEM at the
+    top of each iteration, so nothing in the loop refreshes them) — before
+    returning, they are recomputed here from the final precision, so the
+    returned carry's covariance fields are ALWAYS those of ``carry.state``.
+    """
+    iteration = make_gvi_step(engine, config, method)
+    init_carry = make_gvi_init(engine, init_state, config, method, loop)
+    final_carry, records = lax.scan(
+        iteration, init_carry, jnp.arange(start_iteration, config.niters)
+    )
+    if method == "ngd" and getattr(engine, "fused_gradient_ready", False):
+        cd, co, ld = engine.cov_logdet(final_carry.state.precision)
+        final_carry = final_carry._replace(
+            cov_diag=cd, cov_off=co, logdet=ld
+        )
+    history = GVIHistory(*records)
+    return final_carry, history
 
 
 def run_gvi(
@@ -474,12 +533,7 @@ def run_gvi(
     Returns the final state and history; ``history.factor_costs`` is the
     raw tuple of per-batch cost arrays (callers concatenate/reassemble).
     """
-    iteration = make_gvi_step(engine, config, method)
-    init_carry = make_gvi_init(engine, init_state, config, method)
-    final_carry, records = lax.scan(
-        iteration, init_carry, jnp.arange(config.niters)
-    )
-    history = GVIHistory(*records)
+    final_carry, history = run_gvi_carry(engine, init_state, config, method)
     return final_carry.state, history
 
 
@@ -506,3 +560,37 @@ def optimize(
             history.factor_costs, config.niters, init_state.mu.dtype
         )
     )
+
+
+@partial(jax.jit, static_argnames=("config", "method", "start_iteration"))
+def optimize_from(
+    graph: FactorGraph,
+    init_state: GaussianState,
+    config: GVIConfig = GVIConfig(),
+    method: str = "ngd",
+    start_iteration: int = 0,
+    loop_state: LoopState | None = None,
+) -> tuple[GaussianState, GVIHistory, LoopState]:
+    """:func:`optimize` with full checkpoint/resume semantics.
+
+    Runs iterations ``start_iteration..niters-1`` starting from
+    ``loop_state`` (None = fresh start) and additionally returns the final
+    :class:`LoopState` — (temperature, is_lowtemp, converged) — which,
+    together with the returned ``GaussianState`` and the iteration index,
+    is the COMPLETE loop state: a run checkpointed mid-trajectory (even
+    across a temperature escalation or a convergence freeze) and resumed
+    here reproduces the uninterrupted trajectory exactly
+    (tests/test_resume.py).  History rows cover the resumed window only.
+    """
+    engine = LocalEngine(graph, config)
+    carry, history = run_gvi_carry(
+        engine, init_state, config, method, start_iteration, loop_state
+    )
+    final_loop = LoopState(carry.temperature, carry.is_lowtemp,
+                           carry.converged)
+    return carry.state, history._replace(
+        factor_costs=concat_factor_costs(
+            history.factor_costs, config.niters - start_iteration,
+            init_state.mu.dtype,
+        )
+    ), final_loop

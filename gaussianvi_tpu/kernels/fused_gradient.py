@@ -89,19 +89,42 @@ from .quad_lanes import _M_CHUNK
 # v5e VMEM is far larger than the 16M default scoped-vmem cap the chain
 # kernel's budget was calibrated against.  90k admits rb=8 there while
 # still declining N>=128 shapes (per_row ~42k at N=128 caps rb=2).
+# GVI_KERNEL_VMEM_SCALE rescales for targets enforcing the scoped cap
+# (kernels/budgets.py).
 _MAX_ROW_ELEMS_GRAD = 90_000
+
+
+def _grad_budget() -> int:
+    from .budgets import scaled
+
+    return scaled(_MAX_ROW_ELEMS_GRAD)
 
 
 def row_elems_grad(n: int, s: int,
                    nl_specs: tuple[NLTrialSpec, ...],
-                   lin_specs: tuple[LinTrialSpec, ...]) -> int:
-    """VMEM accounting: elements per 128-lane row."""
+                   lin_specs: tuple[LinTrialSpec, ...],
+                   mode: str = "full") -> int:
+    """VMEM accounting: elements per 128-lane row.
+
+    ``mode`` selects the kernel variant (see :func:`gradient_lanes`):
+    "full" (single-device), "accum" (per-shard partial gradients; no
+    dprec/solve outputs, no y scratch) or "solve" (seeded accumulators +
+    linear factors + solves; extra seed inputs)."""
     no = max(n - 1, 1)
     per = 2 * (n * s + n * s * s + no * s * s + 1)        # mu, pd, po, temp
-    # outputs: cov_d, cov_o, ld, dprec_d, dprec_o, dmu, dmu_fb (x2 buf)
-    per += 2 * (2 * n * s * s + 2 * no * s * s + 2 * n * s + 1)
-    # scratch: fpiv, vdd, vdo, vdmu, y
-    per += 2 * n * s * s + no * s * s + 2 * n * s
+    if mode == "solve":
+        # seed inputs: vdmu, vdd diag, vdd off (x2 buf)
+        per += 2 * (n * s + n * s * s + no * s * s)
+    if mode == "accum":
+        # outputs: vdmu, vdd diag, vdd off (x2 buf)
+        per += 2 * (n * s + n * s * s + no * s * s)
+        # scratch: fpiv, vdd, vdo, vdmu (no y — no solves)
+        per += 2 * n * s * s + no * s * s + n * s
+    else:
+        # outputs: cov_d, cov_o, ld, dprec_d, dprec_o, dmu, dmu_fb (x2 buf)
+        per += 2 * (2 * n * s * s + 2 * no * s * s + 2 * n * s + 1)
+        # scratch: fpiv, vdd, vdo, vdmu, y
+        per += 2 * n * s * s + no * s * s + 2 * n * s
     for sp in nl_specs:
         m = _pad_m(sp.m)
         per += 2 * ((s + 1) * m)
@@ -114,14 +137,15 @@ def row_elems_grad(n: int, s: int,
     return per
 
 
-def _layout_grad(n, s, nl_specs, lin_specs, batch) -> int:
+def _layout_grad(n, s, nl_specs, lin_specs, batch, mode="full") -> int:
     """Sublane rows per grid step (0 = over budget).  Unlike the trial
     kernel there is no per-trial serialization, so rb = 1 layouts are
     admitted (they behave like any other width-B lanes kernel call)."""
-    per_row = row_elems_grad(n, s, nl_specs, lin_specs)
-    if per_row > _MAX_ROW_ELEMS_GRAD:
+    budget = _grad_budget()
+    per_row = row_elems_grad(n, s, nl_specs, lin_specs, mode)
+    if per_row > budget:
         return 0
-    cap = min(8, _MAX_ROW_ELEMS_GRAD // per_row)
+    cap = min(8, budget // per_row)
     rows = -(-batch // LANE)
     return min(
         range(1, cap + 1),
@@ -129,37 +153,67 @@ def _layout_grad(n, s, nl_specs, lin_specs, batch) -> int:
     )
 
 
-def grad_fits_lanes(n, s, nl_specs, lin_specs) -> bool:
+def grad_fits_lanes(n, s, nl_specs, lin_specs, mode: str = "full") -> bool:
     """Static eligibility: n >= 2 and the shape fits the VMEM budget."""
     if n < 2:
         return False
-    return _layout_grad(n, s, nl_specs, lin_specs, LANE) > 0
+    return _layout_grad(n, s, nl_specs, lin_specs, LANE, mode) > 0
+
+
+def sharded_grad_fits_lanes(n, s, nl_specs, lin_specs) -> bool:
+    """Static eligibility for the fp-sharded SPLIT pair: the per-shard
+    accumulate kernel (nonlinear shard only) and the post-psum solve
+    kernel (linear factors + solves) must each fit."""
+    return (
+        grad_fits_lanes(n, s, nl_specs, (), mode="accum")
+        and grad_fits_lanes(n, s, (), lin_specs, mode="solve")
+    )
 
 
 # ---------------------------------------------------------------------------
 # kernel
 # ---------------------------------------------------------------------------
 
-def _grad_kernel(n, s, nl_specs, lin_specs, eval_dtype,
+def _grad_kernel(n, s, nl_specs, lin_specs, eval_dtype, mode,
                  mu_ref, pd_ref, po_ref, temp_ref, *rest):
     """Grid = (batch chunk g,).  Refs:
 
     mu [1, N, s, RB, 128]; pd [1, N, s, s, RB, 128];
     po [1, NO, s, s, RB, 128]; temp [1, RB, 128];
+    [mode "solve" only: seed vdmu [1, N, s, RB, 128],
+    seed vdd [1, N, s, s, RB, 128], seed vdo [1, NO, s, s, RB, 128] —
+    the fp-psum'd partial gradients from the "accum" kernels;]
     then per nl batch: (starts [K] SMEM if dynamic), nodes [1, s, M, RB,
     128], w [1, M, RB, 128], param leaves [1, K, *leaf, RB, 128];
     then per lin batch: (starts [K] SMEM if dynamic),
     a [1, Ka, (3 if nb==2 else 1), s, s, RB, 128],
     lam [1, Ka, r, nb*s, RB, 128], pm [1, Ka, r, RB, 128],
     prec_c [1, Ka, r, r, RB, 128].
-    Outputs: covd [1, N, s, s, RB, 128], covo [1, NO, s, s, RB, 128],
-    ld [1, RB, 128], dpd [1, N, s, s, RB, 128], dpo [1, NO, s, s, RB, 128],
-    dmu [1, N, s, RB, 128], dfb [1, N, s, RB, 128].
+    Outputs ("full"/"solve"): covd [1, N, s, s, RB, 128],
+    covo [1, NO, s, s, RB, 128], ld [1, RB, 128],
+    dpd [1, N, s, s, RB, 128], dpo [1, NO, s, s, RB, 128],
+    dmu [1, N, s, RB, 128], dfb [1, N, s, RB, 128];
+    ("accum"): vdmu_o [1, N, s, RB, 128], vdd_o [1, N, s, s, RB, 128],
+    vdo_o [1, NO, s, s, RB, 128].
     Scratch: fpiv [N, s, s, RB, 128], vdd [N, s, s, RB, 128] (Vddmu diag,
     pivoted in place by solve #1), vdo [NO, s, s, RB, 128] (Vddmu off),
-    vdmu [N, s, RB, 128], y [N, s, RB, 128].
+    vdmu [N, s, RB, 128], y [N, s, RB, 128] ("full"/"solve" only).
+
+    The three modes split the single-device program at the fp-psum
+    boundary (VERDICT r4 item 1; reference: the all-nonlinear-factor
+    batched CUDA launch, gvibase/GVI-GH-Cuda-impl.h:161-192): "accum"
+    evaluates THIS SHARD's nonlinear factors against the (fp-replicated)
+    chain covariance and emits the partial (Vdmu, Vddmu); the psum over fp
+    happens in XLA between the kernels; "solve" re-runs the (cheap) chain
+    sweeps to emit covariance/logdet with fp-INVARIANT vma typing, adds
+    the fp-replicated linear factors' closed-form gradients, and runs
+    dprec + both Thomas solves.
     """
+    seed_refs = None
     pos = 0
+    if mode == "solve":
+        seed_refs = rest[:3]
+        pos = 3
     nl_refs = []
     for sp in nl_specs:
         starts = None
@@ -181,8 +235,14 @@ def _grad_kernel(n, s, nl_specs, lin_specs, eval_dtype,
             (starts, rest[pos], rest[pos + 1], rest[pos + 2], rest[pos + 3])
         )
         pos += 4
-    (covd_ref, covo_ref, ld_ref, dpd_ref, dpo_ref, dmu_ref, dfb_ref,
-     fpiv_ref, vdd_ref, vdo_ref, vdmu_ref, y_ref) = rest[pos:]
+    if mode == "accum":
+        (vdmu_o_ref, vdd_o_ref, vdo_o_ref,
+         fpiv_ref, vdd_ref, vdo_ref, vdmu_ref) = rest[pos:]
+        covd_ref = covo_ref = ld_ref = None
+        dpd_ref = dpo_ref = dmu_ref = dfb_ref = y_ref = None
+    else:
+        (covd_ref, covo_ref, ld_ref, dpd_ref, dpo_ref, dmu_ref, dfb_ref,
+         fpiv_ref, vdd_ref, vdo_ref, vdmu_ref, y_ref) = rest[pos:]
 
     inv_t = 1.0 / temp_ref[0]                       # [RB, 128]
     zero = jnp.zeros_like(inv_t)
@@ -190,14 +250,23 @@ def _grad_kernel(n, s, nl_specs, lin_specs, eval_dtype,
     zeros_m = jnp.zeros_like(pd_ref[0, 0])          # [s, s, RB, 128]
     zeros_v = jnp.zeros_like(mu_ref[0, 0])          # [s, RB, 128]
 
-    # ---- phase 0: zero the gradient accumulators --------------------------
+    # ---- phase 0: initialize the gradient accumulators --------------------
+    # zeros, or (mode "solve") the psum'd partial gradients
     def zero_body(i, _):
-        vdd_ref[i] = zeros_m
-        vdmu_ref[i] = zeros_v
+        if mode == "solve":
+            svd, svdd, svdo = seed_refs
+            vdd_ref[i] = svdd[0, i]
+            vdmu_ref[i] = svd[0, i]
+        else:
+            vdd_ref[i] = zeros_m
+            vdmu_ref[i] = zeros_v
 
         @pl.when(i < n - 1)
         def _():
-            vdo_ref[i] = zeros_m
+            if mode == "solve":
+                vdo_ref[i] = seed_refs[2][0, i]
+            else:
+                vdo_ref[i] = zeros_m
 
         return 0
 
@@ -234,7 +303,8 @@ def _grad_kernel(n, s, nl_specs, lin_specs, eval_dtype,
     _, ld, _, trust = jax.lax.fori_loop(
         0, n, fwd_body, (zeros_m, zero, zero, jnp.ones_like(zero))
     )
-    ld_ref[0] = jnp.where(trust >= tol, ld, jnp.full_like(ld, jnp.nan))
+    if mode != "accum":
+        ld_ref[0] = jnp.where(trust >= tol, ld, jnp.full_like(ld, jnp.nan))
 
     # ---- factor gradient helpers ------------------------------------------
     tri = [(i, j) for i in range(s) for j in range(i + 1)]
@@ -425,8 +495,9 @@ def _grad_kernel(n, s, nl_specs, lin_specs, eval_dtype,
         cii = [[inv[a][b] for b in range(s)] for a in range(s)]
         cjj = [[inv[s + a][s + b] for b in range(s)] for a in range(s)]
         cij = [[inv[a][s + b] for b in range(s)] for a in range(s)]
-        covd_ref[0, i] = _stack(cii, s)
-        covo_ref[0, i] = _stack(cij, s)
+        if mode != "accum":
+            covd_ref[0, i] = _stack(cii, s)
+            covo_ref[0, i] = _stack(cij, s)
 
         mu_i = state_mu(i)
         mu_j = state_mu(i + 1)
@@ -434,7 +505,8 @@ def _grad_kernel(n, s, nl_specs, lin_specs, eval_dtype,
 
         @pl.when(i == n - 2)
         def _():
-            covd_ref[0, n - 1] = _stack(cjj, s)
+            if mode != "accum":
+                covd_ref[0, n - 1] = _stack(cjj, s)
             eval_state(n - 1, cjj, mu_j)
 
         for sp, refs in zip(lin_specs, lin_refs):
@@ -471,6 +543,21 @@ def _grad_kernel(n, s, nl_specs, lin_specs, eval_dtype,
         return _stack(msg_i, s)
 
     jax.lax.fori_loop(0, n - 1, bwd_body, zeros_m)
+
+    if mode == "accum":
+        # emit the partial accumulators; the psum + solves happen outside
+        def emit_body(i, _):
+            vdd_o_ref[0, i] = vdd_ref[i]
+            vdmu_o_ref[0, i] = vdmu_ref[i]
+
+            @pl.when(i < n - 1)
+            def _():
+                vdo_o_ref[0, i] = vdo_ref[i]
+
+            return 0
+
+        jax.lax.fori_loop(0, n, emit_body, 0)
+        return
 
     # ---- phase 3: dprec = Vddmu - Lambda ------------------------------------
     def dprec_body(i, _):
@@ -565,19 +652,25 @@ def gradient_lanes(
     lin_arrays: tuple,     # per batch: (starts|None, a, lam, pm, prec_c)
     interpret: bool | None = None,
     eval_dtype=None,       # in-kernel centered offset quantization (bf16)
+    mode: str = "full",
+    seeds: tuple | None = None,   # mode "solve": (vdmu, vdd, vdo) psum'd
 ):
     """Batched fused NGD gradient step.
 
     mu [B, N, s]; pd [B, N, s, s]; po [B, N-1, s, s]; temperature [B].
     nl/lin array leaves carry a leading B axis (starts do not).  Returns
-    (cov_diag [B, N, s, s], cov_off [B, N-1, s, s], logdet [B],
-    dprec_diag [B, N, s, s], dprec_off [B, N-1, s, s], dmu [B, N, s],
-    dmu_fallback [B, N, s]), or None if the shape exceeds the budget.
+    (mode "full"/"solve"): (cov_diag [B, N, s, s], cov_off [B, N-1, s, s],
+    logdet [B], dprec_diag [B, N, s, s], dprec_off [B, N-1, s, s],
+    dmu [B, N, s], dmu_fallback [B, N, s]);
+    (mode "accum"): (vdmu [B, N, s], vdd [B, N, s, s], vdo [B, N-1, s, s])
+    — the partial joint gradients of THIS factor shard, to be psum'd over
+    fp and fed to a "solve" call as ``seeds``.
+    None if the shape exceeds the budget.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, n, s = mu.shape
-    rb = _layout_grad(n, s, nl_specs, lin_specs, b)
+    rb = _layout_grad(n, s, nl_specs, lin_specs, b, mode)
     if rb == 0:
         return None
     pad = (-b) % (LANE * rb)
@@ -594,6 +687,8 @@ def gradient_lanes(
             (st, rep(a), rep(lm), rep(pm), rep(pc))
             for (st, a, lm, pm, pc) in lin_arrays
         )
+        if seeds is not None:
+            seeds = tuple(rep(x) for x in seeds)
     bp = b + pad
     grid_b = bp // (LANE * rb)
 
@@ -619,6 +714,14 @@ def gradient_lanes(
         spec((rb, LANE)),
     ]
     operands = [mu_l, pd_l, po_l, temp_l]
+
+    if mode == "solve":
+        sv, svdd, svdo = seeds
+        operands += [lanes(sv), lanes(svdd), lanes(svdo)]
+        in_specs += [
+            spec((n, s, rb, LANE)), spec((n, s, s, rb, LANE)),
+            spec((no, s, s, rb, LANE)),
+        ]
 
     for sp, (starts, nodes, weights, leaves) in zip(nl_specs, nl_arrays):
         if sp.slice_offset is None:
@@ -652,24 +755,61 @@ def gradient_lanes(
         operands.append(lanes(pc))
         in_specs.append(spec((sp.ka, sp.r, sp.r, rb, LANE)))
 
-    out_shapes = [
-        _sds((grid_b, n, s, s, rb, LANE), mu.dtype, mu_l),   # covd
-        _sds((grid_b, no, s, s, rb, LANE), mu.dtype, mu_l),  # covo
-        _sds((grid_b, rb, LANE), mu.dtype, mu_l),            # ld
-        _sds((grid_b, n, s, s, rb, LANE), mu.dtype, mu_l),   # dpd
-        _sds((grid_b, no, s, s, rb, LANE), mu.dtype, mu_l),  # dpo
-        _sds((grid_b, n, s, rb, LANE), mu.dtype, mu_l),      # dmu
-        _sds((grid_b, n, s, rb, LANE), mu.dtype, mu_l),      # dfb
-    ]
-    out_specs = [
-        spec((n, s, s, rb, LANE)), spec((no, s, s, rb, LANE)),
-        spec((rb, LANE)),
-        spec((n, s, s, rb, LANE)), spec((no, s, s, rb, LANE)),
-        spec((n, s, rb, LANE)), spec((n, s, rb, LANE)),
-    ]
+    # out vma = the JOIN of the operand vmas: under fp sharding the nl
+    # operands are fp-varying while (mu, pd, po) are fp-replicated, and
+    # the "accum" outputs inherit the union (the "solve"/"full" calls see
+    # only invariant-or-dp operands, where this reduces to mu's vma)
+    vma: frozenset = frozenset()
+    for op in operands:
+        vma = vma | getattr(jax.typeof(op), "vma", frozenset())
+
+    def sds(shape):
+        if vma:
+            return jax.ShapeDtypeStruct(shape, mu.dtype, vma=vma)
+        return jax.ShapeDtypeStruct(shape, mu.dtype)
+
+    if mode == "accum":
+        out_shapes = [
+            sds((grid_b, n, s, rb, LANE)),      # vdmu
+            sds((grid_b, n, s, s, rb, LANE)),   # vdd
+            sds((grid_b, no, s, s, rb, LANE)),  # vdo
+        ]
+        out_specs = [
+            spec((n, s, rb, LANE)), spec((n, s, s, rb, LANE)),
+            spec((no, s, s, rb, LANE)),
+        ]
+        scratch = [
+            pltpu.VMEM((n, s, s, rb, LANE), mu.dtype),   # fpiv
+            pltpu.VMEM((n, s, s, rb, LANE), mu.dtype),   # vdd
+            pltpu.VMEM((no, s, s, rb, LANE), mu.dtype),  # vdo
+            pltpu.VMEM((n, s, rb, LANE), mu.dtype),      # vdmu
+        ]
+    else:
+        out_shapes = [
+            sds((grid_b, n, s, s, rb, LANE)),   # covd
+            sds((grid_b, no, s, s, rb, LANE)),  # covo
+            sds((grid_b, rb, LANE)),            # ld
+            sds((grid_b, n, s, s, rb, LANE)),   # dpd
+            sds((grid_b, no, s, s, rb, LANE)),  # dpo
+            sds((grid_b, n, s, rb, LANE)),      # dmu
+            sds((grid_b, n, s, rb, LANE)),      # dfb
+        ]
+        out_specs = [
+            spec((n, s, s, rb, LANE)), spec((no, s, s, rb, LANE)),
+            spec((rb, LANE)),
+            spec((n, s, s, rb, LANE)), spec((no, s, s, rb, LANE)),
+            spec((n, s, rb, LANE)), spec((n, s, rb, LANE)),
+        ]
+        scratch = [
+            pltpu.VMEM((n, s, s, rb, LANE), mu.dtype),   # fpiv
+            pltpu.VMEM((n, s, s, rb, LANE), mu.dtype),   # vdd
+            pltpu.VMEM((no, s, s, rb, LANE), mu.dtype),  # vdo
+            pltpu.VMEM((n, s, rb, LANE), mu.dtype),      # vdmu
+            pltpu.VMEM((n, s, rb, LANE), mu.dtype),      # y
+        ]
 
     kernel = functools.partial(
-        _grad_kernel, n, s, nl_specs, lin_specs, eval_dtype
+        _grad_kernel, n, s, nl_specs, lin_specs, eval_dtype, mode
     )
     out = pl.pallas_call(
         kernel,
@@ -677,19 +817,20 @@ def gradient_lanes(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((n, s, s, rb, LANE), mu.dtype),   # fpiv
-            pltpu.VMEM((n, s, s, rb, LANE), mu.dtype),   # vdd
-            pltpu.VMEM((no, s, s, rb, LANE), mu.dtype),  # vdo
-            pltpu.VMEM((n, s, rb, LANE), mu.dtype),      # vdmu
-            pltpu.VMEM((n, s, rb, LANE), mu.dtype),      # y
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*operands)
 
     def unlanes(y):
         return jnp.moveaxis(_unpack(y, bp), -1, 0)[:b]
 
+    if mode == "accum":
+        vdmu, vdd, vdo = out
+        return (
+            unlanes(vdmu),
+            unlanes(vdd),
+            unlanes(vdo) if n > 1 else jnp.zeros((b, 0, s, s), mu.dtype),
+        )
     covd, covo, ld, dpd, dpo, dmu, dfb = out
     return (
         unlanes(covd),
@@ -703,23 +844,30 @@ def gradient_lanes(
 
 
 def make_gradient_vmappable(n, s, nl_specs, lin_specs, interpret=None,
-                            eval_dtype=None):
+                            eval_dtype=None, mode: str = "full"):
     """Per-problem fused gradient step, efficient under outer vmap (problem
     axes flatten onto the 128 lanes — same pattern as fused_trials).
     Returns a function
 
+        mode "full"/"solve":
         f(mu [N,s], pd [N,s,s], po [N-1,s,s], temperature [],
+          [mode "solve": vdmu [N,s], vdd [N,s,s], vdo [N-1,s,s],]
           *flat_arrays)
           -> (cov_diag, cov_off, logdet, dprec_diag, dprec_off, dmu,
               dmu_fallback)
+        mode "accum":
+        f(mu, pd, po, temperature, *flat_arrays) -> (vdmu, vdd, vdo)
 
     ``flat_arrays``: per nl batch (starts? nodes weights *leaves), per lin
     batch (starts? a lam pm prec_c) — the SAME flat tuple the fused trial
-    kernel takes (engine._build_fused_specs builds it once for both)."""
+    kernel takes (engine._build_fused_specs builds it once for both; the
+    fp-sharded split pair passes the nl slots to "accum" and the lin slots
+    to "solve")."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    shared = [False] * 4           # mu pd po temperature
+    n_core = 7 if mode == "solve" else 4
+    shared = [False] * n_core      # mu pd po temperature (+ seeds)
     for sp in nl_specs:
         if sp.slice_offset is None:
             shared.append(True)    # starts
@@ -731,8 +879,8 @@ def make_gradient_vmappable(n, s, nl_specs, lin_specs, interpret=None,
         shared += [False, False, False, False]
 
     def _regroup(args):
-        core = args[:4]
-        pos = 4
+        core = args[:n_core]
+        pos = n_core
         nl_arrays = []
         for sp in nl_specs:
             starts = None
@@ -761,9 +909,11 @@ def make_gradient_vmappable(n, s, nl_specs, lin_specs, interpret=None,
     def call(*args):
         # base case is BATCHED: core leaves [B, ...], temperature [B]
         core, nl_arrays, lin_arrays = _regroup(args)
+        seeds = tuple(core[4:7]) if mode == "solve" else None
         return gradient_lanes(
-            *core, nl_specs, lin_specs, nl_arrays, lin_arrays,
-            interpret=interpret, eval_dtype=eval_dtype,
+            *core[:4], nl_specs, lin_specs, nl_arrays, lin_arrays,
+            interpret=interpret, eval_dtype=eval_dtype, mode=mode,
+            seeds=seeds,
         )
 
     @call.def_vmap
@@ -788,11 +938,17 @@ def make_gradient_vmappable(n, s, nl_specs, lin_specs, interpret=None,
         resh = lambda y: y.reshape((axis_size, b1) + y.shape[1:])
         return tuple(resh(y) for y in out), tuple(True for _ in out)
 
-    def f(mu, pd, po, temperature, *flat):
+    def f(mu, pd, po, temperature, *rest):
+        if mode == "solve":
+            seeds, flat = rest[:3], rest[3:]
+        else:
+            seeds, flat = (), rest
         out = call(
             mu[None], pd[None], po[None],
             jnp.reshape(temperature, (1,)),
-            *[x if sh else x[None] for x, sh in zip(flat, shared[4:])],
+            *[x[None] for x in seeds],
+            *[x if sh else x[None]
+              for x, sh in zip(flat, shared[n_core:])],
         )
         if out is None:
             raise ValueError("fused gradient shape exceeded the VMEM budget "

@@ -98,12 +98,16 @@ _MAX_ROW_ELEMS_TRIALS_LONG = 140_000
 
 
 def _trials_budget(n: int, s: int) -> int:
+    # physical-VMEM calibration; GVI_KERNEL_VMEM_SCALE rescales for
+    # targets enforcing the 16MB scoped-vmem cap (kernels/budgets.py)
+    from .budgets import scaled
+
     nss = n * s * s
     if nss >= 4096:
-        return _MAX_ROW_ELEMS_TRIALS_LONG
+        return scaled(_MAX_ROW_ELEMS_TRIALS_LONG)
     if nss >= 2048:
-        return _MAX_ROW_ELEMS_TRIALS_MID
-    return _MAX_ROW_ELEMS_TRIALS
+        return scaled(_MAX_ROW_ELEMS_TRIALS_MID)
+    return scaled(_MAX_ROW_ELEMS_TRIALS)
 
 
 class NLTrialSpec(NamedTuple):

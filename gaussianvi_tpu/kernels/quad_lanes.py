@@ -57,6 +57,23 @@ _MAX_ROW_ELEMS_QUAD = 12288
 # intermediate)
 _M_CHUNK = 8
 
+# Cancellation-trust guard on the COST path (sibling of the chain kernels'
+# pivot-trust guard): sparse-GH weights are SIGNED
+# (quadrature/SparseGaussHermite.h:197-221), so E[phi] = sum w_m phi_m can
+# cancel catastrophically when a trial iterate's marginal spread explodes —
+# in f32 the garbage residue came out hugely NEGATIVE and the line search
+# accepted it (PERF.md sections 14/27: 8/1024 separate-path collapses at
+# N=32), where the reference's f64 evaluation rejects the same trials.
+# When |sum| is below ~64 ulps of sum |w_m phi_m| — i.e. more than ~5 of 7
+# f32 digits cancelled and the sign itself is untrustworthy — the estimate
+# is poisoned to NaN, which the line search treats as a rejected trial
+# (NaN costs compare False), restoring the f64-reject behavior at f32
+# speed.  Healthy estimates sit at |sum|/sum|w phi| >~ 1/sum|w| (~0.01),
+# three orders above the trip point; an exactly-zero hinge cost has both
+# sums 0 and is never poisoned.
+def _cancel_tol(dtype) -> float:
+    return 64.0 * float(jnp.finfo(dtype).eps)
+
 
 def _row_block_quad(k: int, s: int, m: int, with_moments: bool,
                     batch: int, param_elems: int = 0) -> int:
@@ -108,8 +125,10 @@ def _quad_kernel(k_factors, s, with_moments, lanes_cost, param_shapes,
         # M vregs per intermediate and spills; a per-node loop pays loop
         # bookkeeping per node — both measured slower), with tile-valued
         # accumulators carried across chunks.  Padded nodes carry weight 0.
+        # The cost-only variant additionally carries sum |w phi| for the
+        # cancellation-trust guard (see _cancel_tol).
         tri = [(i, j) for i in range(s) for j in range(i + 1)]
-        n_acc = 1 + (s + len(tri) if with_moments else 0)
+        n_acc = 1 + (s + len(tri) if with_moments else 1)
 
         def chunk_body(c, acc):
             m0 = c * _M_CHUNK
@@ -141,11 +160,22 @@ def _quad_kernel(k_factors, s, with_moments, lanes_cost, param_shapes,
                     + jnp.sum(wd[i] * diff[j], axis=0, keepdims=True)
                     for t, (i, j) in enumerate(tri)
                 ]
+            else:
+                out.append(
+                    acc[1] + jnp.sum(jnp.abs(wphi), axis=0, keepdims=True)
+                )
             return tuple(out)
 
         acc = jax.lax.fori_loop(
             0, n_chunks, chunk_body, (zero,) * n_acc
         )
+        if not with_moments:
+            tot, absum = acc[0][0], acc[1][0]
+            bad = jnp.abs(tot) < _cancel_tol(tot.dtype) * absum
+            e_phi_ref[0, k] = jnp.where(
+                bad, jnp.full_like(tot, jnp.nan), tot
+            )
+            return 0
         e_phi_ref[0, k] = acc[0][0]
         if with_moments:
             for i in range(s):

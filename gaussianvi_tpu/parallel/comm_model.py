@@ -22,7 +22,7 @@ from dataclasses import dataclass
 
 import jax
 import numpy as np
-from jax._src.core import ClosedJaxpr, Jaxpr
+from jax.extend.core import ClosedJaxpr, Jaxpr
 
 _COLLECTIVES = (
     "psum", "all_gather", "ppermute", "all_to_all", "reduce_scatter",

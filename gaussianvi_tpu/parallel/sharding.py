@@ -234,21 +234,86 @@ class FactorShardEngine(LocalEngine):
                 config,
                 quad_impl="lanes" if config.chain_impl == "lanes" else "xla",
             )
-        if fp_size != 1:
-            # the fused GRADIENT kernel assembles (Vdmu, Vddmu) and runs
-            # the natural-gradient solve IN-kernel from the local factor
-            # shard only — under fp sharding the joint must be psum'd
-            # BEFORE the solve, so that kernel stays single-device.  The
-            # fused TRIAL kernel is cost-only: its per-shard factor costs
-            # reduce through reduce_trial_costs (psum over fp below), so
-            # it stays enabled.  On a dp-ONLY mesh (fp=1, e.g. parallel
-            # restarts across chips) the fp psums are size-1 no-ops and
-            # BOTH kernels are exactly as valid as in the local engine.
-            config = replace(config, fused_gradient="off")
+        # fp >= 2: the single fused GRADIENT kernel assembles (Vdmu,
+        # Vddmu) and solves IN-kernel from the local factor shard only —
+        # the joint must be psum'd BEFORE the solve, so those meshes run
+        # the SPLIT kernel pair instead (accumulate per shard -> psum over
+        # fp -> solve; see _build_fused_gradient below).  The fused TRIAL
+        # kernel is cost-only: its per-shard factor costs reduce through
+        # reduce_trial_costs (psum over fp below), so it stays enabled.
+        # On a dp-ONLY mesh (fp=1, e.g. parallel restarts across chips)
+        # the fp psums are size-1 no-ops and the single-kernel paths are
+        # exactly as valid as in the local engine.
+        self._fp_size = fp_size
+        self.axis = axis
         super().__init__(
             graph, config, use_pallas=False, quad_impl=config.quad_impl
         )
-        self.axis = axis
+
+    def _build_fused_gradient(self, config):
+        """fp >= 2: build the SPLIT fused-gradient pair (VERDICT r4 item
+        1) — an "accum" kernel producing this shard's partial (Vdmu,
+        Vddmu) from the local nonlinear factors, ONE psum over fp, and a
+        "solve" kernel adding the fp-replicated linear factors and
+        running covariance/logdet + dprec + both Thomas solves.  The pair
+        is the single-device kernel split exactly at the psum boundary,
+        so the multi-chip factor-parallel path keeps the fused fast path
+        (reference analog: the all-nonlinear-factor batched CUDA launch,
+        gvibase/GVI-GH-Cuda-impl.h:161-192, with the psum standing in for
+        the single-GPU global-memory reduction)."""
+        if self._fp_size == 1:
+            return super()._build_fused_gradient(config)
+        from ..kernels.fused_gradient import (
+            make_gradient_vmappable,
+            sharded_grad_fits_lanes,
+        )
+
+        specs = self._fused_spec_cache
+        if specs is None and self.quad_impl == "lanes":
+            specs = self._build_fused_specs(config, allow_prep=True)
+        if specs is None:
+            return None
+        nl_specs, lin_specs, flat, eval_dtype, preps = specs
+        g = self.graph
+        n, s = g.num_states, g.state_dim
+        if not sharded_grad_fits_lanes(n, s, nl_specs, lin_specs):
+            return None
+        fn_a = make_gradient_vmappable(
+            n, s, nl_specs, (), eval_dtype=eval_dtype, mode="accum",
+        )
+        fn_b = make_gradient_vmappable(
+            n, s, (), lin_specs, eval_dtype=eval_dtype, mode="solve",
+        )
+        n_nl_slots = sum(
+            (1 if sp.slice_offset is None else 0) + 2 + len(sp.param_shapes)
+            for sp in nl_specs
+        )
+        self.fused_grad_eval_dtype = eval_dtype
+        return (
+            "sharded", fn_a, fn_b,
+            tuple(flat[:n_nl_slots]), tuple(flat[n_nl_slots:]), preps,
+        )
+
+    def fused_gradient(self, state, temperature):
+        fg = self._fused_gradient
+        if not (isinstance(fg, tuple) and fg and fg[0] == "sharded"):
+            return super().fused_gradient(state, temperature)
+        _, fn_a, fn_b, nl_flat, lin_flat, preps = fg
+        nl_flat = self._splice_preps(nl_flat, preps, state.mu)
+        vdmu, vdd, vdo = fn_a(
+            state.mu, state.precision.diag, state.precision.off,
+            temperature, *nl_flat,
+        )
+        # THE psum: the all-reduce replacing the reference's OpenMP
+        # critical-section joint assembly (ngd/NGD-GH-impl.h:39-51)
+        vdmu = lax.psum(vdmu, self.axis)
+        vdd = lax.psum(vdd, self.axis)
+        vdo = lax.psum(vdo, self.axis)
+        covd, covo, ld, dpd, dpo, dmu, dfb = fn_b(
+            state.mu, state.precision.diag, state.precision.off,
+            temperature, vdmu, vdd, vdo, *lin_flat,
+        )
+        return covd, covo, ld, BlockTridiag(dpd, dpo), dmu, dfb
 
     def reduce_fc(self, fc_tuple):
         n_nl = len(self.graph.nonlinear)

@@ -1,6 +1,7 @@
 from .checkpoint import (
     load_checkpoint,
     load_checkpoint_orbax,
+    load_loop_state,
     save_checkpoint,
     save_checkpoint_orbax,
 )
@@ -14,7 +15,7 @@ from .recorder import (
 )
 
 __all__ = [
-    "save_checkpoint", "load_checkpoint",
+    "save_checkpoint", "load_checkpoint", "load_loop_state",
     "save_checkpoint_orbax", "load_checkpoint_orbax",
     "Timer", "time_fn", "trace",
     "history_to_arrays", "save_history_csv", "cost_map_1d", "save_costmap",

@@ -223,6 +223,57 @@ class TestShardMapLanes:
         assert float(jnp.abs(cd - cd0).max()) < 1e-4
         assert float(jnp.abs(ld - ld0).max()) < 1e-3
 
+    def test_compiled_split_gradient_pair(self):
+        """The fp-sharded split fused-gradient pair (accum -> psum ->
+        solve) COMPILED under shard_map with check_vma=True on a 1x1 TPU
+        mesh, forced onto the fp>=2 code path (fp_size=2 with a size-1 fp
+        axis: the psum is an identity and the shard holds every factor, so
+        the result must match the local single-kernel fused gradient)."""
+        from functools import partial
+
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from gaussianvi_tpu.inference import GVIConfig
+        from gaussianvi_tpu.inference.engine import LocalEngine
+        from gaussianvi_tpu.parallel.sharding import (
+            FactorShardEngine,
+            _graph_specs,
+            _null_nonlinear_slice_offsets,
+            _state_spec,
+            stack_problems,
+        )
+
+        mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("dp", "fp"))
+        cfg = GVIConfig(chain_impl="lanes", quad_impl="lanes")
+        g, s0, _ = _chain_problem(num_states=8, dim_x=1, gh_degree=3)
+        graph_b, state_b = stack_problems([g], [s0])
+        gspec = _graph_specs(graph_b, batched=True)
+        sspec = _state_spec(batched=True)
+
+        @partial(jax.shard_map, mesh=mesh, in_specs=(gspec, sspec),
+                 out_specs=(P("dp"),) * 7, check_vma=True)
+        def run(graph_loc, state_loc):
+            graph_loc = _null_nonlinear_slice_offsets(graph_loc)
+
+            def one(gi, si):
+                eng = FactorShardEngine(gi, cfg, fp_size=2)
+                assert eng._fused_gradient[0] == "sharded"
+                covd, covo, ld, dprec, dmu, dfb = eng.fused_gradient(
+                    si, jnp.asarray(1.0, si.mu.dtype)
+                )
+                return covd, covo, ld, dprec.diag, dprec.off, dmu, dfb
+
+            return jax.vmap(one)(graph_loc, state_loc)
+
+        out_sh = jax.jit(run)(graph_b, state_b)
+        sync(out_sh[5])
+        eng_l = LocalEngine(g, cfg)
+        out_l = eng_l.fused_gradient(s0, jnp.asarray(1.0, jnp.float32))
+        out_l = (out_l[0], out_l[1], out_l[2], out_l[3].diag, out_l[3].off,
+                 out_l[4], out_l[5])
+        for a, b in zip(out_sh, out_l):
+            assert float(jnp.abs(jnp.asarray(a)[0] - b).max()) < 1e-4
+
     def test_sharded_optimize_lanes_on_tpu_mesh(self):
         """optimize_sharded resolves 'auto' to the lanes kernels on a TPU
         mesh and matches the local run."""
@@ -275,6 +326,39 @@ class TestE2ENumericsGates:
         rel = np.abs(cost32 - cost64) / np.maximum(np.abs(cost64), 1e-12)
         assert np.isfinite(cost32).all()
         assert rel.max() < 1e-3
+
+    def test_separate_path_no_accept_collapse_b1024(self):
+        """PERF §27's residual failure class, now a standing gate: on the
+        SEPARATE batched-trial path (fused kernels off) the f32
+        signed-weight sparse-GH sum used to cancel into huge negative trial
+        costs on ~8/1024 near-singular problems and the line search
+        accepted them.  The quadrature cancellation-trust guard
+        (kernels/quad_lanes._cancel_tol) must reject those trials: every
+        final cost stays finite and positive (healthy runs end ~3e2; the
+        collapses ended at ~-1e4)."""
+        import sys
+
+        sys.path.insert(0, ".")
+        from bench import build_batch
+        from gaussianvi_tpu.inference import GVIConfig
+        from gaussianvi_tpu.inference.optimize import optimize
+
+        graph_b, state_b = build_batch(1024, 32, 2, 4)
+        cfg = GVIConfig(
+            niters=10, niters_lowtemp=10, step_size_base=0.9,
+            chain_impl="lanes", fused_trials="off", fused_gradient="off",
+            linesearch="batched",
+        )
+        run = jax.jit(jax.vmap(
+            lambda g, s: optimize(g, s, cfg, method="ngd")[1].cost
+        ))
+        costs = np.asarray(run(graph_b, state_b))          # [B, niters]
+        final = costs[:, -1]
+        n_collapsed = int(np.sum(final < 0))
+        assert n_collapsed == 0, (
+            f"{n_collapsed}/1024 collapsed (min {final.min():.1f})"
+        )
+        assert np.isfinite(final).all()
 
     def test_planar_planner_vs_f64(self):
         """The planning workloads run the separate-kernel path (SDF prep

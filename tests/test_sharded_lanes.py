@@ -102,12 +102,12 @@ class TestShardedLanesEquivalence:
         assert FactorShardEngine(
             g0, config, fp_size=1
         ).fused_gradient_ready
-        # fp>=2: the trial kernel stays (psum'd reduction) but the
-        # gradient kernel (in-kernel solve over the global Vddmu) goes
-        assert FactorShardEngine(g0, config, fp_size=2).fused_trials_ready
-        assert not FactorShardEngine(
-            g0, config, fp_size=2
-        ).fused_gradient_ready
+        # fp>=2: the trial kernel stays (psum'd reduction) and the
+        # gradient runs the SPLIT pair (accum -> psum -> solve)
+        eng2 = FactorShardEngine(g0, config, fp_size=2)
+        assert eng2.fused_trials_ready
+        assert eng2.fused_gradient_ready
+        assert eng2._fused_gradient[0] == "sharded"
 
         st_sh, hist_sh = optimize_sharded(
             graph_b, state_b, config, mesh, check_vma=False
@@ -119,11 +119,13 @@ class TestShardedLanesEquivalence:
             )
             np.testing.assert_allclose(st_sh.mu[i], st_l.mu, atol=1e-7)
 
-    def test_fp_sharded_fused_trials_match_local(self):
-        """Under fp>=2 the fused TRIAL kernel stays enabled — each shard
-        evaluates its nonlinear factors in-kernel and the per-trial costs
-        psum through reduce_trial_costs; the fused GRADIENT kernel (whose
-        in-kernel solve needs the global Vddmu) is disabled."""
+    def test_fp_sharded_fused_kernels_match_local(self):
+        """Under fp>=2 BOTH fused paths stay on: the trial kernel's
+        per-shard costs psum through reduce_trial_costs, and the gradient
+        runs the split pair — per-shard "accum" kernels, ONE psum of
+        (Vdmu, Vddmu) over fp, and a "solve" kernel (VERDICT r4 item 1).
+        The whole optimize_sharded trajectory must match the local fused
+        run."""
         from gaussianvi_tpu.parallel.sharding import FactorShardEngine
 
         (graph_b, state_b), graphs, states = _problems(2, num_states=8)
@@ -135,7 +137,8 @@ class TestShardedLanesEquivalence:
         g0 = jax.tree.map(lambda x: x[0], graph_b)
         eng = FactorShardEngine(g0, config, fp_size=2)
         assert eng.fused_trials_ready
-        assert not eng.fused_gradient_ready
+        assert eng.fused_gradient_ready
+        assert eng._fused_gradient[0] == "sharded"
 
         st_sh, hist_sh = optimize_sharded(
             graph_b, state_b, config, mesh, check_vma=False
@@ -146,6 +149,62 @@ class TestShardedLanesEquivalence:
                 hist_sh.cost[i], hist_l.cost, rtol=1e-7
             )
             np.testing.assert_allclose(st_sh.mu[i], st_l.mu, atol=1e-7)
+
+    @pytest.mark.parametrize("fp", [2, 4])
+    def test_fp_sharded_split_gradient_bitmatch(self, fp):
+        """The split gradient pair's outputs at fp=2/4 match the LOCAL
+        single-kernel fused gradient on identical inputs (interpret mode;
+        the psum reassociation is the only allowed difference)."""
+        from functools import partial
+
+        from jax.sharding import PartitionSpec as P
+
+        from gaussianvi_tpu.inference.engine import LocalEngine
+        from gaussianvi_tpu.parallel.sharding import (
+            FactorShardEngine,
+            _graph_specs,
+            _null_nonlinear_slice_offsets,
+            _state_spec,
+        )
+
+        (graph_b, state_b), graphs, states = _problems(
+            1, num_states=8, dim_x=1
+        )
+        mesh = make_mesh(1, fp)
+        config = GVIConfig(chain_impl="lanes", quad_impl="lanes")
+
+        graph_spec = _graph_specs(graph_b, batched=True)
+        state_spec = _state_spec(batched=True)
+        out_spec = (P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
+                    P("dp"), P("dp"))
+
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(graph_spec, state_spec), out_specs=out_spec,
+                 check_vma=False)
+        def run(graph_loc, state_loc):
+            graph_loc = _null_nonlinear_slice_offsets(graph_loc)
+
+            def one(g, s):
+                eng = FactorShardEngine(g, config, fp_size=fp)
+                covd, covo, ld, dprec, dmu, dfb = eng.fused_gradient(
+                    s, jnp.asarray(1.0, s.mu.dtype)
+                )
+                return covd, covo, ld, dprec.diag, dprec.off, dmu, dfb
+
+            return jax.vmap(one)(graph_loc, state_loc)
+
+        out_sh = jax.jit(run)(graph_b, state_b)
+
+        eng_l = LocalEngine(graphs[0], config)
+        out_l = eng_l.fused_gradient(
+            states[0], jnp.asarray(1.0, jnp.float32)
+        )
+        out_l = (out_l[0], out_l[1], out_l[2], out_l[3].diag,
+                 out_l[3].off, out_l[4], out_l[5])
+        for a, b in zip(out_sh, out_l):
+            np.testing.assert_allclose(
+                np.asarray(a)[0], np.asarray(b), rtol=2e-5, atol=1e-6
+            )
 
     def test_sharded_lanes_matches_sharded_scans(self):
         """The two sharded backends agree with each other (same psum
