@@ -61,7 +61,7 @@ def build_batch(num_problems, num_states, dim_x, gh_degree):
 
 def bench_device(device, num_problems=64, num_states=32, dim_x=2,
                  gh_degree=4, niters=10, repeats=2, chain_impl="auto",
-                 pipeline=24):
+                 pipeline=24, method="ngd"):
     """Sustained NGD throughput: ``pipeline`` runs are dispatched
     back-to-back (async) and synced once, so the measurement reflects
     device steady state rather than the per-call dispatch latency (through
@@ -82,7 +82,7 @@ def bench_device(device, num_problems=64, num_states=32, dim_x=2,
         graph_b = jax.device_put(graph_b, device)
         state_b = jax.device_put(state_b, device)
         run = jax.jit(
-            jax.vmap(lambda g, s: optimize(g, s, config, method="ngd")[0])
+            jax.vmap(lambda g, s: optimize(g, s, config, method=method)[0])
         )
         checksum = _sync(run(graph_b, state_b))  # compile + settle
         assert checksum == checksum  # not NaN
@@ -115,6 +115,21 @@ def main():
     print(f"[bench] device phase {time.perf_counter() - t0:.0f}s",
           file=sys.stderr)
 
+    # the co-equal PROX optimizer (reference proxgd/) at the same shape —
+    # rides the fused trial kernel (eval_dtype None); the JKO gradient
+    # phase (sqrtm per factor) is its own cost class, so the number is
+    # reported alongside NGD, not compared to it
+    t0 = time.perf_counter()
+    try:
+        rate_prox = bench_device(
+            device, num_problems=1024, pipeline=6, repeats=1, method="prox"
+        )
+        print(f"[bench] prox phase {time.perf_counter() - t0:.0f}s "
+              f"({rate_prox:.0f} prob-iters/s)", file=sys.stderr)
+    except Exception as exc:  # keep the headline metric robust
+        print(f"[bench] prox phase failed: {exc}", file=sys.stderr)
+        rate_prox = None
+
     try:
         t0 = time.perf_counter()
         rate_cpu = bench_device(jax.devices("cpu")[0], repeats=1, pipeline=4)
@@ -129,12 +144,15 @@ def main():
         print(f"[bench] cpu phase failed: {exc}", file=sys.stderr)
         vs = 1.0
 
-    print(json.dumps({
+    out = {
         "metric": "ngd_iters_per_sec_batch1024x32states",
         "value": round(rate_dev, 2),
         "unit": "iters/s",
         "vs_baseline": round(vs, 3),
-    }))
+    }
+    if rate_prox is not None:
+        out["prox_iters_per_sec"] = round(rate_prox, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -55,9 +55,17 @@ def build_planar_planning(
     radius: float = 0.2,
     gh_degree: int = 3,
     patch_size: int | None = None,
+    interp: str = "auto",
     dtype=None,
 ):
-    """``patch_size``: opt-in lanes-quadrature fast path for the obstacle
+    """``interp="matmul"``: gather-free one-hot hat-function SDF
+    interpolation (MXU contraction against the whole field,
+    factors.sdf.PlanarSDF.signed_distance_matmul) on the XLA quadrature
+    route — the planning workloads measured gather-BOUND (PERF.md
+    sections 17/29), and this replaces every trial-phase gather with
+    batch-scaling matmul work.
+
+    ``patch_size``: opt-in lanes-quadrature fast path for the obstacle
     factor (pre-gathered SDF windows; approximate once the marginal spread
     exceeds the window — see factors.robots.make_patch_cost_2d).
     Measured SLOWER than the exact path on the 2-D field (bilinear
@@ -81,6 +89,7 @@ def build_planar_planning(
         balls_fn=planar_point_balls,
         gh_degree=gh_degree,
         patch_size=patch_size,
+        interp=interp,
         dtype=dtype,
     )
     anchors = []

@@ -57,6 +57,7 @@ def build_point3d_planning(
     radius: float = 0.2,
     gh_degree: int = 3,
     patch_size: int | None = None,
+    interp: str = "auto",
     map_file=None,
     dtype=None,
 ):
@@ -92,6 +93,7 @@ def build_point3d_planning(
         radius=radius,
         gh_degree=gh_degree,
         patch_size=patch_size,
+        interp=interp,
         dtype=dtype,
     )
     anchors = []

@@ -30,6 +30,7 @@ def build_quadrotor_planning(
     n_balls: int = 5,
     body_length: float = 5.0,
     gh_degree: int = 2,
+    interp: str = "auto",
     dtype=None,
 ):
     dtype = dtype or jnp.zeros(0).dtype
@@ -44,10 +45,18 @@ def build_quadrotor_planning(
         dtype=dtype,
     )
 
+    from ..factors.robots import _resolve_interp
+
+    lookup = (
+        sdf.signed_distance_matmul
+        if _resolve_interp(interp) == "matmul"
+        else sdf.signed_distance
+    )
+
     def quad_cost(x, params):
         del params
         balls = planar_quad_balls(x, n_balls, body_length, radius)
-        sd = sdf.signed_distance(balls)
+        sd = lookup(balls)
         return hinge_obstacle_cost(
             sd, epsilon, radius, cost_sigma, slope=5.0
         )

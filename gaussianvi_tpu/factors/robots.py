@@ -96,6 +96,19 @@ class DHForwardKinematics:
         return pos + einsum("sij,sj->si", rot, self.centers)
 
 
+def _resolve_interp(interp: str) -> str:
+    """``interp="auto"``: one-hot hat-function matmul interpolation on
+    TPU (gather-free — the planar planner measured 15x the gather path,
+    PERF.md section 31), direct gathers elsewhere (a dense field-wide
+    contraction per query has no payoff on CPU).  Resolved at build time
+    against the process default backend, like resolve_chain_impl."""
+    if interp != "auto":
+        return interp
+    import jax
+
+    return "matmul" if jax.default_backend() == "tpu" else "gather"
+
+
 def _hinge(sd, epsilon, radius, sigma, slope):
     err = jnp.maximum(0.0, epsilon + radius - sd) * slope
     return err * err * sigma
@@ -178,6 +191,7 @@ def make_planar_obstacle_factor(
     balls_fn=planar_point_balls,
     gh_degree: int = 3,
     patch_size: int | None = None,
+    interp: str = "auto",
     dtype=None,
 ) -> NonlinearFactorBatch:
     """Per-state planar collision factor psi(x) = hinge(sd(balls(x)))
@@ -186,12 +200,22 @@ def make_planar_obstacle_factor(
 
     ``patch_size`` (point-robot ``balls_fn`` only): attach the
     lanes-kernel fast path — pre-gathered SDF windows + in-kernel hat-sum
-    bilinear interpolation (:func:`make_patch_cost_2d`); None disables."""
+    bilinear interpolation (:func:`make_patch_cost_2d`); None disables.
+    ``interp``: "auto" (matmul on TPU, gather elsewhere — see
+    :func:`_resolve_interp`), "gather" (direct 4-corner lookup) or
+    "matmul" (one-hot hat-function MXU contraction against the whole
+    field — identical values, no gathers; measured 15x on the planar
+    planner, PERF.md section 31)."""
+    lookup = (
+        sdf.signed_distance_matmul
+        if _resolve_interp(interp) == "matmul"
+        else sdf.signed_distance
+    )
 
     def cost_fn(x, params):
         del params
         balls = balls_fn(x)
-        sd = sdf.signed_distance(balls)
+        sd = lookup(balls)
         return hinge_obstacle_cost(sd, epsilon, radius, cost_sigma, slope)
 
     lanes_cost = lanes_prep = None
@@ -293,6 +317,7 @@ def make_point3d_obstacle_factor(
     slope: float = 1.0,
     gh_degree: int = 3,
     patch_size: int | None = None,
+    interp: str = "auto",
     dtype=None,
 ) -> NonlinearFactorBatch:
     """3-D point-robot collision factor: one ball at (x, y, z) -> trilinear
@@ -300,12 +325,20 @@ def make_point3d_obstacle_factor(
     vec_balls, helpers/CudaOperation.h:612-680; state = [pos3; vel3]).
 
     ``patch_size``: lanes fast path via P^3 pre-gathered windows (None
-    disables; the P^3 VMEM footprint makes small windows the default)."""
+    disables; the P^3 VMEM footprint makes small windows the default).
+    ``interp``: "auto" (matmul on TPU, gather elsewhere), "gather" or
+    "matmul" (one-hot hat contraction; mind the [Q, nz, rows] operand
+    scaling — sdf.SDF3D.signed_distance_matmul)."""
+    lookup = (
+        sdf.signed_distance_matmul
+        if _resolve_interp(interp) == "matmul"
+        else sdf.signed_distance
+    )
 
     def cost_fn(x, params):
         del params
         balls = point3d_balls(x)
-        sd = sdf.signed_distance(balls)
+        sd = lookup(balls)
         return hinge_obstacle_cost(sd, epsilon, radius, cost_sigma, slope)
 
     lanes_cost = lanes_prep = None
@@ -342,19 +375,26 @@ def make_arm_obstacle_factor(
     slope: float = 1.0,
     gh_degree: int = 3,
     n_joints: int | None = None,
+    interp: str = "auto",
     dtype=None,
 ) -> NonlinearFactorBatch:
     """Arm collision factor: DH FK -> sphere centers -> 3-D SDF -> hinge
     (CudaOperation_3dArm::cost_obstacle; state = [theta; theta_dot], the
-    first n_joints entries are joint angles)."""
+    first n_joints entries are joint angles).  ``interp``: see
+    :func:`_resolve_interp`."""
     radii = jnp.asarray(radii)
     nj = n_joints if n_joints is not None else state_dim // 2
+    lookup = (
+        sdf.signed_distance_matmul
+        if _resolve_interp(interp) == "matmul"
+        else sdf.signed_distance
+    )
 
     def cost_fn(x, params):
         del params
         theta = x[:nj]
         centers = fk.sphere_centers(theta)
-        sd = sdf.signed_distance(centers)
+        sd = lookup(centers)
         return hinge_obstacle_cost(sd, epsilon, radii, cost_sigma, slope)
 
     nodes, weights = get_rule(state_dim, gh_degree)

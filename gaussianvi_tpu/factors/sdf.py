@@ -6,9 +6,21 @@ the obstacle cost used by every robot model (ibid. 491-region):
 
     cost(x) = sum_balls sigma * (slope * max(0, eps + radius - sd(ball)))^2
 
-Here an SDF is a pytree of arrays; interpolation is a vectorized gather +
-bilinear/trilinear blend, differentiable end-to-end (the reference carries a
-hand-written gradient; jax.grad reproduces it inside each cell).
+Here an SDF is a pytree of arrays.  Two interpolation backends:
+
+* ``signed_distance`` — vectorized gather + bilinear/trilinear blend (the
+  direct port; differentiable end-to-end — the reference carries a
+  hand-written gradient, jax.grad reproduces it inside each cell).
+* ``signed_distance_matmul`` — the TPU-native formulation: the bilinear
+  blend is a separable HAT-function contraction
+  ``sd_q = sum_ij relu(1-|r_q-i|) relu(1-|c_q-j|) F[i, j]``
+  (each hat vector has exactly the 2 nonzero bilinear weights), evaluated
+  as dense one-hot MATMULS against the whole field.  XLA gathers
+  serialize on TPU — the planning workloads measured gather-BOUND and
+  flat in batch (PERF.md sections 17/29) — while this form is pure
+  MXU/VPU work that scales with the batch.  Identical values to the
+  gather path (the hats reproduce the 4-corner/8-corner blend exactly,
+  clamping included).
 """
 
 from __future__ import annotations
@@ -17,6 +29,8 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+
+from ..ops.precision import einsum
 
 
 @jax.tree_util.register_dataclass
@@ -70,6 +84,22 @@ class PlanarSDF:
             + wr * wc * d[hri, hci]
         )
 
+    def signed_distance_matmul(self, points: jnp.ndarray) -> jnp.ndarray:
+        """Bilinear interpolation as one-hot hat-function matmuls (see
+        module docstring) — the gather-free TPU path.  points [..., 2]."""
+        idx = self.point_to_cell(points)
+        r, c = idx[..., 0], idx[..., 1]
+        rows, cols = self.data.shape
+        wr = jnp.maximum(
+            0.0, 1.0 - jnp.abs(r[..., None] - jnp.arange(rows, dtype=r.dtype))
+        )
+        wc = jnp.maximum(
+            0.0, 1.0 - jnp.abs(c[..., None] - jnp.arange(cols, dtype=c.dtype))
+        )
+        # (wr @ F) then a row-reduction against wc: one [Q, rows] x
+        # [rows, cols] MXU contraction + a VPU reduce — no gathers
+        return einsum("...i,ij,...j->...", wr, self.data, wc)
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
@@ -118,6 +148,48 @@ class SDF3D:
         c0 = (1 - wc) * c00 + wc * c10
         c1 = (1 - wc) * c01 + wc * c11
         return (1 - wz) * c0 + wz * c1
+
+    def signed_distance_matmul(self, points: jnp.ndarray) -> jnp.ndarray:
+        """Trilinear interpolation as one-hot hat-function contractions
+        (gather-free; see module docstring).  points [..., 3].
+
+        Memory note: the (z, row) hats are combined into one
+        ``[..., nz, rows]`` operand before the MXU contraction against
+        the field — for Q queries that intermediate is Q * nz * rows
+        elements, so this path suits moderate fields/batches (the exact
+        trilinear blend fundamentally needs a [Q, V^(2/3)] operand in
+        any dense one-hot order)."""
+        nz, rows, cols = self.data.shape
+        x = jnp.clip(
+            points[..., 0],
+            self.origin[0],
+            self.origin[0] + (cols - 1.0) * self.cell_size,
+        )
+        y = jnp.clip(
+            points[..., 1],
+            self.origin[1],
+            self.origin[1] + (rows - 1.0) * self.cell_size,
+        )
+        z = jnp.clip(
+            points[..., 2],
+            self.origin[2],
+            self.origin[2] + (nz - 1.0) * self.cell_size,
+        )
+        c = (x - self.origin[0]) / self.cell_size
+        r = (y - self.origin[1]) / self.cell_size
+        zz = (z - self.origin[2]) / self.cell_size
+        wr = jnp.maximum(
+            0.0, 1.0 - jnp.abs(r[..., None] - jnp.arange(rows, dtype=r.dtype))
+        )
+        wc = jnp.maximum(
+            0.0, 1.0 - jnp.abs(c[..., None] - jnp.arange(cols, dtype=c.dtype))
+        )
+        wz = jnp.maximum(
+            0.0, 1.0 - jnp.abs(zz[..., None] - jnp.arange(nz, dtype=zz.dtype))
+        )
+        wzr = wz[..., :, None] * wr[..., None, :]       # [..., nz, rows]
+        t = einsum("...zi,zij->...j", wzr, self.data)   # [..., cols]
+        return jnp.sum(t * wc, axis=-1)
 
 
 def hinge_obstacle_cost(

@@ -122,6 +122,84 @@ def factor_shard_model(n: int, s: int, n_trials: int, m_nodes: int,
     return expected, report
 
 
+def time_shard_model(n: int, s: int, n_trials: int, mesh,
+                     dtype=None) -> Counter:
+    """Predicted collective inventory of ONE ``optimize_time_sharded`` NGD
+    iteration (TimeShardEngine, batched linesearch, one nonlinear batch +
+    one nb==2 linear batch in chain layout — the chain-estimation
+    configuration).
+
+    Composed per TRACE SITE (the inventory counts sites, not executions —
+    see tests/test_comm_model.py): the sequence-parallel chain engine's
+    collectives are traced in isolation (plain for the init/gradient
+    sites, T-vmapped for the line-search trial site) and combined with
+    the hand-counted halo/psum sites of the engine itself:
+
+      * init: one chain covariance + the nb2 cost halos
+        (_edge_marginals: 2 ppermutes — mu [s] and cov_diag [s, s]);
+      * per iteration: cost psum (scalar), gradient halos
+        (_edge_marginals 2 + _scatter_edge 2 ppermutes), TWO seqpar
+        solves, the all_finite psum, the T-vmapped trial chain + trial
+        cost halos + the [T] trial-cost psum.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from .chain_seqpar import (
+        gbp_covariance_logdet_seqpar,
+        solve_seqpar,
+    )
+
+    dtype = dtype or jnp.zeros(0).dtype
+    diag = jnp.zeros((n, s, s), dtype)
+    off = jnp.zeros((n, s, s), dtype)
+    rhs = jnp.zeros((n, s), dtype)
+
+    def _inv(fn, *args, specs, out_specs):
+        run = jax.shard_map(
+            fn, mesh=mesh, in_specs=specs, out_specs=out_specs
+        )
+        return collective_inventory(run, *args)
+
+    inv_cov = _inv(
+        lambda d, o: gbp_covariance_logdet_seqpar(d, o, "sp"),
+        diag, off, specs=(P("sp"), P("sp")),
+        out_specs=(P("sp"), P("sp"), P()),
+    )
+    diag_t = jnp.zeros((n_trials, n, s, s), dtype)
+    off_t = jnp.zeros((n_trials, n, s, s), dtype)
+    inv_cov_t = _inv(
+        lambda d, o: jax.vmap(
+            lambda dd, oo: gbp_covariance_logdet_seqpar(dd, oo, "sp")
+        )(d, o),
+        diag_t, off_t, specs=(P(None, "sp"), P(None, "sp")),
+        out_specs=(P(None, "sp"), P(None, "sp"), P()),
+    )
+    inv_solve = _inv(
+        lambda d, o, b: solve_seqpar(d, o, b, "sp"),
+        diag, off, rhs, specs=(P("sp"), P("sp"), P("sp")),
+        out_specs=P("sp"),
+    )
+
+    expected = Counter()
+    expected += inv_cov                      # init covariance
+    expected += inv_cov_t                    # T-vmapped trial covariances
+    expected += inv_solve + inv_solve        # solve_pair (main + fallback)
+    ax = "('sp',)"
+    # halo ppermutes: _edge_marginals (mu [s], cd [s, s]) at the init cost
+    # site, the gradient site, and the T-vmapped trial cost site;
+    # _scatter_edge (vd [s], vdd [s, s]) at the gradient site
+    for shape in ((s,), (s, s)):
+        expected[("ppermute", ((shape,)), ax)] += 3   # init+grad+scatter
+        expected[("ppermute", (((n_trials,) + shape,)), ax)] += 1  # trials
+    # psums: cost_iter (scalar) + all_finite (scalar count), trial
+    # costs [T] — all psum_invariant under the vma type system
+    expected[("psum_invariant", (((),)), ax)] += 2
+    expected[("psum_invariant", (((n_trials,),)), ax)] += 1
+    return expected
+
+
 def print_report(tag: str, rep: CommReport):
     print(f"[{tag}] collective bytes/iter = {rep.bytes_per_iter}  "
           f"~flops/iter = {rep.flops_per_iter:.3g}  "

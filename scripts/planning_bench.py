@@ -41,7 +41,12 @@ def bench_case(name, build_fn, patch_size, restarts, niters, methods,
     from gaussianvi_tpu.parallel.restarts import perturb_inits
 
     variants = {}
-    for label, kw in (("xla", {}), ("patch", {"patch_size": patch_size})):
+    for label, kw in (
+        # interp pinned per variant: "auto" now resolves to matmul on TPU
+        ("xla", {"interp": "gather"}),
+        ("patch", {"patch_size": patch_size, "interp": "gather"}),
+        ("matmul", {"interp": "matmul"}),
+    ):
         graph, init, config, _ = build_fn(gh_degree=3, **kw)
         config = replace(
             config, niters=niters, niters_lowtemp=niters,

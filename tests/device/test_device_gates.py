@@ -306,6 +306,32 @@ class TestShardMapLanes:
             assert rel.max() < 1e-4
 
 
+class TestTimeShardGate:
+    def test_time_sharded_optimize_on_sp_mesh(self):
+        """optimize_time_sharded COMPILED on a 1-device sp mesh (the
+        per-shard lowering a multi-device sp mesh uses) matches the local
+        run — the sp sibling of the fp gates above (VERDICT r4 item 5)."""
+        from jax.sharding import Mesh
+
+        from gaussianvi_tpu.inference import GVIConfig, optimize
+        from gaussianvi_tpu.parallel.time_sharding import (
+            optimize_time_sharded,
+            to_chain_layout,
+        )
+
+        g, s0, _ = _chain_problem(num_states=8, dim_x=1, gh_degree=3)
+        chain = to_chain_layout(g)
+        mesh = Mesh(np.asarray(jax.devices()[:1]), ("sp",))
+        cfg = GVIConfig(niters=3, niters_lowtemp=3, step_size_base=0.9)
+        st_t, hist_t = optimize_time_sharded(chain, s0, cfg, mesh)
+        sync(hist_t.cost)
+        _, hist_l = optimize(g, s0, cfg, method="ngd")
+        rel = np.abs(
+            np.asarray(hist_t.cost) - np.asarray(hist_l.cost)
+        ) / np.abs(np.asarray(hist_l.cost))
+        assert rel.max() < 1e-4
+
+
 class TestE2ENumericsGates:
     """f32 device trajectory vs f64 host oracle — the composed-path gate
     that catches precision-class regressions a single kernel check misses

@@ -66,6 +66,25 @@ class TestPlanarSDF:
                 got = self.sdf.signed_distance(jnp.asarray(p))
                 np.testing.assert_allclose(got, self.data[r, c], rtol=1e-12)
 
+    def test_matmul_interp_matches_gather(self):
+        """The one-hot hat-function MXU formulation is the SAME bilinear
+        blend (clamping included) — the planning fast path must be
+        value-identical to the gather port."""
+        rng = np.random.default_rng(3)
+        pts = jnp.asarray(rng.uniform(-4.0, 3.0, (200, 2)))
+        a = self.sdf.signed_distance(pts)
+        b = self.sdf.signed_distance_matmul(pts)
+        np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
+
+    def test_matmul_interp_differentiable(self):
+        g = jax.grad(lambda p: self.sdf.signed_distance_matmul(p))(
+            jnp.asarray([0.3, 0.4])
+        )
+        g0 = jax.grad(lambda p: self.sdf.signed_distance(p))(
+            jnp.asarray([0.3, 0.4])
+        )
+        np.testing.assert_allclose(g, g0, rtol=1e-8)
+
     def test_differentiable(self):
         g = jax.grad(lambda p: self.sdf.signed_distance(p))(
             jnp.asarray([0.3, 0.4])
@@ -101,6 +120,19 @@ class TestSDF3D:
         expected = 2 * pts[:, 0] - pts[:, 1] + 3 * pts[:, 2]
         np.testing.assert_allclose(
             sdf.signed_distance(jnp.asarray(pts)), expected, rtol=1e-10
+        )
+
+    def test_matmul_interp_matches_gather(self):
+        rng = np.random.default_rng(4)
+        grid = rng.standard_normal((7, 9, 11))
+        sdf = SDF3D(
+            jnp.asarray(grid), jnp.asarray([-1.0, 0.5, 2.0]),
+            jnp.asarray(0.4),
+        )
+        pts = jnp.asarray(rng.uniform(-3.0, 7.0, (150, 3)))
+        np.testing.assert_allclose(
+            sdf.signed_distance(pts), sdf.signed_distance_matmul(pts),
+            rtol=1e-10, atol=1e-12,
         )
 
 
