@@ -93,6 +93,14 @@ from .quad_lanes import _M_CHUNK
 # (kernels/budgets.py).
 _MAX_ROW_ELEMS_GRAD = 90_000
 
+# Max grid steps per pallas_call: XLA places this kernel's output buffers
+# in SCOPED vmem scaled by the grid count (B=8192 at rb=8 -> grid 8 ->
+# 18.7M > the 16M scoped stack limit, compile-time OOM; grid <= 4
+# measured fine through B=4096).  Larger batches are CHUNKED into
+# multiple calls over the packed grid axis — same total work, bounded
+# scoped footprint.
+_MAX_GRID = 4
+
 
 def _grad_budget() -> int:
     from .budgets import scaled
@@ -811,15 +819,51 @@ def gradient_lanes(
     kernel = functools.partial(
         _grad_kernel, n, s, nl_specs, lin_specs, eval_dtype, mode
     )
-    out = pl.pallas_call(
-        kernel,
-        grid=(grid_b,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        scratch_shapes=scratch,
-        interpret=interpret,
-    )(*operands)
+
+    def call(ops, gc, shapes):
+        return pl.pallas_call(
+            kernel,
+            grid=(gc,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=shapes,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*ops)
+
+    if grid_b <= _MAX_GRID:
+        out = call(operands, grid_b, out_shapes)
+    else:
+        # bound the per-call grid (scoped-vmem stack OOM at grid > 4, see
+        # _MAX_GRID): slice the grid-indexed operands, re-issue per chunk
+        grid_flags = [True] * (7 if mode == "solve" else 4)
+        for sp in nl_specs:
+            if sp.slice_offset is None:
+                grid_flags.append(False)          # starts (SMEM)
+            grid_flags += [False, False]          # nodes, weights (spec0)
+            grid_flags += [True] * len(sp.param_shapes)
+        for sp in lin_specs:
+            if sp.slice_offset is None:
+                grid_flags.append(False)
+            grid_flags += [True] * 4
+        parts = []
+        for g0 in range(0, grid_b, _MAX_GRID):
+            gc = min(_MAX_GRID, grid_b - g0)
+            ops_c = [
+                op[g0:g0 + gc] if flag else op
+                for op, flag in zip(operands, grid_flags)
+            ]
+            shapes_c = [
+                jax.ShapeDtypeStruct(
+                    (gc,) + sh.shape[1:], sh.dtype,
+                    **({"vma": vma} if vma else {}),
+                )
+                for sh in out_shapes
+            ]
+            parts.append(call(ops_c, gc, shapes_c))
+        out = tuple(
+            jnp.concatenate(comps, axis=0) for comps in zip(*parts)
+        )
 
     def unlanes(y):
         return jnp.moveaxis(_unpack(y, bp), -1, 0)[:b]

@@ -705,15 +705,66 @@ def trial_costs_lanes(
     kernel = functools.partial(
         _trials_kernel, n, s, nl_specs, lin_specs, eval_dtype
     )
-    out = pl.pallas_call(
-        kernel,
-        grid=(grid_b, n_tg),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((n, s, s, rb, LANE), mu.dtype)],
-        interpret=interpret,
-    )(*operands)
+
+    def call(ops, gc, shapes):
+        return pl.pallas_call(
+            kernel,
+            grid=(gc, n_tg),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=shapes,
+            scratch_shapes=[pltpu.VMEM((n, s, s, rb, LANE), mu.dtype)],
+            interpret=interpret,
+        )(*ops)
+
+    from .fused_gradient import _MAX_GRID
+
+    if grid_b <= _MAX_GRID:
+        out = pl.pallas_call(
+            kernel,
+            grid=(grid_b, n_tg),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            scratch_shapes=[pltpu.VMEM((n, s, s, rb, LANE), mu.dtype)],
+            interpret=interpret,
+        )(*operands)
+    else:
+        # bound the per-call batch grid (XLA scopes the output buffers in
+        # vmem scaled by the grid count — compile-time scoped-vmem OOM at
+        # large B; see fused_gradient._MAX_GRID): chunk the batch-indexed
+        # operands and re-issue
+        grid_flags = [True] * 6 + [False]     # mu..dpo yes, st_l no
+        for sp in nl_specs:
+            if sp.slice_offset is None:
+                grid_flags.append(False)      # starts (SMEM)
+            grid_flags += [False, False]      # nodes, weights (spec0)
+            grid_flags += [True] * len(sp.param_shapes)
+        for sp in lin_specs:
+            if sp.slice_offset is None:
+                grid_flags.append(False)
+            grid_flags += [True] * 4
+        parts = []
+        for g0 in range(0, grid_b, _MAX_GRID):
+            gc = min(_MAX_GRID, grid_b - g0)
+            ops_c = [
+                op[g0:g0 + gc] if flag else op
+                for op, flag in zip(operands, grid_flags)
+            ]
+            shapes_c = [
+                jax.ShapeDtypeStruct(
+                    (gc,) + sh.shape[1:], sh.dtype,
+                    **(
+                        {"vma": jax.typeof(mu_l).vma}
+                        if getattr(jax.typeof(mu_l), "vma", None) else {}
+                    ),
+                )
+                for sh in out_shapes
+            ]
+            parts.append(call(ops_c, gc, shapes_c))
+        out = tuple(
+            jnp.concatenate(comps, axis=0) for comps in zip(*parts)
+        )
 
     def unlanes(y):
         # [G, TG, ..., RB=tpg*rows_b, 128] -> [B, T, ...]

@@ -97,6 +97,69 @@ class TestUnit:
             atol=1e-10,
         )
 
+    def test_grid_chunking_bitmatch(self, monkeypatch):
+        """Large batches split into multiple pallas calls of <= _MAX_GRID
+        grid steps (the scoped-vmem stack OOM guard, PERF section 32) —
+        outputs must be bit-identical to the single-call layout."""
+        from gaussianvi_tpu.kernels import fused_gradient as fg
+
+        graph, init, _ = build_chain_estimation(
+            num_states=6, dim_x=1, gh_degree=3, seed=0
+        )
+        config, _ = _configs()
+        eng = LocalEngine(graph, config)
+        nl_specs, lin_specs, flat, eval_dtype, _ = eng._fused_spec_cache
+        b = 300
+        rep = lambda x: jnp.broadcast_to(x[None], (b,) + x.shape)
+        mu = rep(init.mu) + 0.01 * jnp.arange(b)[:, None, None]
+        pd, po = rep(init.precision.diag), rep(init.precision.off)
+        temp = jnp.ones((b,))
+        shared = []
+        for sp in nl_specs:
+            if sp.slice_offset is None:
+                shared.append(True)
+            shared += [True, True] + [False] * len(sp.param_shapes)
+        for sp in lin_specs:
+            if sp.slice_offset is None:
+                shared.append(True)
+            shared += [False] * 4
+
+        def regroup(args):
+            pos, nl_arrays, lin_arrays = 0, [], []
+            for sp in nl_specs:
+                st = None
+                if sp.slice_offset is None:
+                    st = args[pos]
+                    pos += 1
+                nd, w = args[pos], args[pos + 1]
+                pos += 2
+                lv = tuple(rep(x)
+                           for x in args[pos:pos + len(sp.param_shapes)])
+                pos += len(sp.param_shapes)
+                nl_arrays.append((st, nd, w, lv))
+            for sp in lin_specs:
+                st = None
+                if sp.slice_offset is None:
+                    st = args[pos]
+                    pos += 1
+                a, lm, pm, pc = (rep(x) for x in args[pos:pos + 4])
+                pos += 4
+                lin_arrays.append((st, a, lm, pm, pc))
+            return tuple(nl_arrays), tuple(lin_arrays)
+
+        nl_arrays, lin_arrays = regroup(list(flat))
+        # rb=1 -> grid_b = 3 at b=300; _MAX_GRID=1 forces 3 chunked calls
+        monkeypatch.setattr(fg, "_layout_grad", lambda *a, **k: 1)
+        single = fg.gradient_lanes(
+            mu, pd, po, temp, nl_specs, lin_specs, nl_arrays, lin_arrays
+        )
+        monkeypatch.setattr(fg, "_MAX_GRID", 1)
+        chunked = fg.gradient_lanes(
+            mu, pd, po, temp, nl_specs, lin_specs, nl_arrays, lin_arrays
+        )
+        for a, c in zip(single, chunked):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
     def test_dynamic_starts_path(self):
         """Non-consecutive factor supports (slice_offset None, SMEM starts
         dispatch in-kernel) — the hand-unrolled branch the slice-offset
