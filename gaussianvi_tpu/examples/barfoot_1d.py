@@ -34,7 +34,8 @@ def barfoot_cost(x, params):
 
 def build_barfoot_1d(gh_degree: int = 10, dtype=None):
     fb = make_nonlinear_batch(
-        barfoot_cost, [0], state_dim=1, nb=1, gh_degree=gh_degree, dtype=dtype
+        barfoot_cost, [0], state_dim=1, nb=1, gh_degree=gh_degree,
+        nonneg_cost=True, dtype=dtype,
     )
     graph = FactorGraph(num_states=1, state_dim=1, nonlinear=(fb,))
     init = GaussianState(

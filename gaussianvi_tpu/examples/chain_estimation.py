@@ -107,6 +107,7 @@ def build_chain_estimation(
         gh_degree=gh_degree,
         block_cost=range_cost_block,
         lanes_cost=range_cost_lanes,
+        nonneg_cost=True,   # squared residual: E[phi] >= 0 by construction
         dtype=dtype,
     )
     graph = FactorGraph(

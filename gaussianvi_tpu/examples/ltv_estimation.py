@@ -70,6 +70,7 @@ def build_ltv_estimation(
             "sig_r_sq": jnp.full(num_states, 0.05**2, dtype),
         },
         gh_degree=gh_degree,
+        nonneg_cost=True,   # squared residual: E[phi] >= 0 by construction
         dtype=dtype,
     )
     graph = FactorGraph(

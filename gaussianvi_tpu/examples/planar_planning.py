@@ -56,6 +56,7 @@ def build_planar_planning(
     gh_degree: int = 3,
     patch_size: int | None = None,
     interp: str = "auto",
+    marginal_quad: bool = True,
     dtype=None,
 ):
     """``interp="matmul"``: gather-free one-hot hat-function SDF
@@ -90,6 +91,7 @@ def build_planar_planning(
         gh_degree=gh_degree,
         patch_size=patch_size,
         interp=interp,
+        marginal_quad=marginal_quad,
         dtype=dtype,
     )
     anchors = []

@@ -58,6 +58,7 @@ def build_point3d_planning(
     gh_degree: int = 3,
     patch_size: int | None = None,
     interp: str = "auto",
+    marginal_quad: bool = True,
     map_file=None,
     dtype=None,
 ):
@@ -94,6 +95,7 @@ def build_point3d_planning(
         gh_degree=gh_degree,
         patch_size=patch_size,
         interp=interp,
+        marginal_quad=marginal_quad,
         dtype=dtype,
     )
     anchors = []

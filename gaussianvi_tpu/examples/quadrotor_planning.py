@@ -17,7 +17,6 @@ from ..factors.robots import planar_quad_balls
 from ..factors.sdf import hinge_obstacle_cost
 from ..inference import FactorGraph, GaussianState, GVIConfig, optimize
 from ..ops import BlockTridiag
-from ..quadrature import get_rule
 from .planar_planning import block_obstacle_sdf
 
 
@@ -61,7 +60,11 @@ def build_quadrotor_planning(
             sd, epsilon, radius, cost_sigma, slope=5.0
         )
 
-    nodes, weights = get_rule(state_dim, gh_degree)
+    # pose-marginal quadrature: quad_cost reads (x, z, phi) = x[:3] only
+    # (factors.robots.marginal_rule; exact lift in moments.gh_moments)
+    from ..factors.robots import marginal_rule
+
+    nodes, weights = marginal_rule(state_dim, 3, gh_degree)
     obstacle = NonlinearFactorBatch(
         start=jnp.arange(num_states, dtype=jnp.int32),
         slice_offset=0,
@@ -70,6 +73,8 @@ def build_quadrotor_planning(
         params=None,
         cost_fn=quad_cost,
         nb=1,
+        nonneg_cost=True,
+        quad_rdim=3,
     )
     anchors = [
         fixed_prior(

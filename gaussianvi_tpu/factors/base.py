@@ -71,6 +71,29 @@ class NonlinearFactorBatch:
     # when they differ) — required by kernels that hold ONE copy of the
     # starts for all lanes (kernels/fused_trials.py)
     shared_start: bool = field(metadata=dict(static=True), default=True)
+    # contract: ``cost_fn >= 0`` everywhere (true for every reference cost —
+    # squared residuals and hinge losses).  When set, a NEGATIVE sparse-GH
+    # E[phi] estimate on the line-search cost path is poisoned to NaN
+    # (trial rejected): the signed-weight sum of a nonnegative integrand
+    # can only go negative through quadrature/rounding garbage — the
+    # ~8/1024 f32 accept-collapse class of PERF.md section 27.  Leave False
+    # for potentials that can be legitimately negative (e.g. double-well
+    # log-densities in the sampler-validation harness).
+    nonneg_cost: bool = field(metadata=dict(static=True), default=False)
+    # MARGINAL quadrature (None = off): the cost depends only on the
+    # LEADING ``quad_rdim`` dims of the local support (e.g. collision
+    # costs read position, never velocity — reference analog: the factor's
+    # own ``dimension``-dim subspace via Pk, gvibase/GVIFactorizedBase.h:63-70),
+    # so ``nodes`` hold an r-dim rule ZERO-PADDED to d.  With Cholesky
+    # sigma placement the padded nodes land the cost evaluations exactly
+    # on the position-marginal sigma points, E[phi] and E[(x-mu)phi]
+    # assemble exactly (the Gaussian conditional lift collapses onto the
+    # standard assembly — see moments.gh_moments), and E[(x-mu)(x-mu)^T
+    # phi] needs one closed-form correction term added there.  Cuts sigma
+    # points ~3.2-3.4x on the planners (rule(2,deg) = 13 vs rule(4,deg) =
+    # 41 nodes at degree 3).  The lanes/fused kernels do not implement the
+    # lift: batches with quad_rdim set always take the XLA moments path.
+    quad_rdim: int | None = field(metadata=dict(static=True), default=None)
 
     @property
     def num_factors(self) -> int:
@@ -91,6 +114,7 @@ def make_nonlinear_batch(
     kind: str = "sparse",
     block_cost: Any = None,
     lanes_cost: Any = None,
+    nonneg_cost: bool = False,
     dtype=None,
 ) -> NonlinearFactorBatch:
     """Build a NonlinearFactorBatch with a (dim, degree) quadrature rule."""
@@ -107,6 +131,7 @@ def make_nonlinear_batch(
         nb=nb,
         block_cost=block_cost,
         lanes_cost=lanes_cost,
+        nonneg_cost=nonneg_cost,
         slice_offset=detect_slice_offset(start_np),
     )
 

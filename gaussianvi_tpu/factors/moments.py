@@ -95,6 +95,10 @@ def _lanes_eligible(fb, eval_dtype, with_moments: bool) -> bool:
     float16 has no native TPU cast and keeps the XLA path)."""
     if fb.lanes_cost is None:
         return False
+    if fb.quad_rdim is not None:
+        # marginal quadrature: the kernels do not implement the e_xxt
+        # conditional-moment lift (see gh_moments) — XLA path only
+        return False
     if eval_dtype is not None and jnp.dtype(eval_dtype) != jnp.dtype(
         jnp.bfloat16
     ):
@@ -117,9 +121,11 @@ def batch_phi(fb, mu_k, cov_k, eval_dtype=None, quad_impl: str = "xla"):
         return quad_lanes_vmappable(
             fb.nodes, fb.weights, mu_k, cov_k, fb.lanes_cost,
             _lanes_leaves(fb, mu_k), eval_dtype=eval_dtype,
+            nonneg=fb.nonneg_cost,
         )
     return expectation_phi(
-        fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params, eval_dtype
+        fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params, eval_dtype,
+        nonneg=fb.nonneg_cost,
     )
 
 
@@ -153,7 +159,8 @@ def batch_moments(fb, mu_k, cov_k, use_pallas: bool = False,
             eval_dtype=eval_dtype,
         )
     return gh_moments(
-        fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params, eval_dtype
+        fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params, eval_dtype,
+        rdim=fb.quad_rdim,
     )
 
 
@@ -185,21 +192,58 @@ def gh_moments(
     cost_fn: Callable[..., jnp.ndarray],
     params: Any,
     eval_dtype=None,
+    rdim: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused (E[phi] [K], E[(x-mu)phi] [K,d], E[(x-mu)(x-mu)^T phi] [K,d,d]).
 
     ``eval_dtype`` (e.g. ``jnp.bfloat16``): centered sigma-offset
     quantization (see :func:`_sigma_diffs`); the weighted reductions always
     accumulate in the input dtype (sparse-grid weights are signed).
+
+    ``rdim`` (NonlinearFactorBatch.quad_rdim): MARGINAL quadrature — phi
+    depends only on the first r dims of x and ``nodes`` carry an r-dim rule
+    zero-padded to d.  With lower-triangular Cholesky placement
+    (L = [[L11, 0], [L21, L22]], x = mu + L xi) the padded nodes hit the
+    position-marginal sigma points exactly, and the EXACT Gaussian
+    conditional-moment lift collapses onto the standard assembly:
+
+        E[(x-mu) phi]          = C Spp^-1 E_p[(p-mu_p) phi]
+                               = L sum_m w_m xi~_m phi_m        (as-is)
+        E[(x-mu)(x-mu)^T phi]  = L (sum_m w_m xi~ xi~^T phi) L^T
+                                 + (Sigma - C Spp^-1 C^T) E[phi]
+
+    with C = Sigma P^T, Spp = P Sigma P^T, and C Spp^-1 C^T =
+    L[:, :r] L[:, :r]^T — only the last line's correction term is not
+    produced by the standard assembly, and it is added here in closed form
+    (no extra quadrature).  Derivation: E[x-mu | p] = C Spp^-1 (p-mu_p) and
+    E[(x-mu)(x-mu)^T | p] = Sigma - C Spp^-1 C^T + (C Spp^-1 (p-mu_p))(.)^T.
     """
-    diff = _sigma_diffs(nodes, cov, eval_dtype)   # [K,M,d]
+    sqrt_p = chol_small(cov)                      # [K,d,d] lower
+    diff = einsum("md,ked->kme", nodes, sqrt_p)   # [K,M,d]
+    if eval_dtype is not None:
+        diff = diff.astype(eval_dtype).astype(cov.dtype)
     pts = diff + mu[:, None, :]
     phi = eval_phi(cost_fn, pts, params)          # [K,M]
     wphi = phi * weights[None, :]                 # [K,M]
     e_phi = jnp.sum(wphi, axis=-1)
     e_xmu = einsum("km,kmd->kd", wphi, diff)
     e_xxt = einsum("km,kmd,kme->kde", wphi, diff, diff)
+    if rdim is not None and rdim < mu.shape[-1]:
+        lr = sqrt_p[..., :rdim]                   # L[:, :r]  [K,d,r]
+        corr = cov - einsum("kar,kbr->kab", lr, lr)
+        e_xxt = e_xxt + corr * e_phi[:, None, None]
     return e_phi, e_xmu, e_xxt
+
+
+# Rounding-band width (in ulps of sum |w phi|) for the nonneg-phi guard:
+# negative estimates of a nonnegative integrand inside the band are f32
+# summation garbage (poisoned); outside it they are genuine quadrature
+# error an f64 evaluation reproduces (kept).  Device calibration: the
+# PERF section-27 collapse class measured |sum|/sum|w phi| <= ~2e-5
+# (~170 ulps); the smallest LEGITIMATE negative observed (arm planner)
+# sits at 3.2e-3 (~2.7e4 ulps) — 4096 splits the gap with ~6x margin on
+# either side.  Shared by the XLA path and kernels/quad_lanes.
+_NONNEG_BAND = 4096.0
 
 
 def expectation_phi(
@@ -210,6 +254,7 @@ def expectation_phi(
     cost_fn: Callable[..., jnp.ndarray],
     params: Any,
     eval_dtype=None,
+    nonneg: bool = False,
 ) -> jnp.ndarray:
     """E[phi] only (the line-search cost path needs no moments).
 
@@ -221,14 +266,29 @@ def expectation_phi(
     14/27).  When |sum w phi| falls under ~64 ulps of sum |w phi| the
     estimate is poisoned to NaN, rejecting the trial (the same philosophy
     as the chain kernels' pivot-trust guard; see
-    kernels/quad_lanes._cancel_tol)."""
+    kernels/quad_lanes._cancel_tol).
+
+    ``nonneg`` (NonlinearFactorBatch.nonneg_cost): the integrand is known
+    >= 0, so a negative estimate within the working precision's
+    ROUNDING-noise band (|sum| < ~4096 ulps of sum |w phi|) is pure
+    sign-garbage and is poisoned too — the residual 7/1024 device
+    collapses sat exactly there, above the 64-ulp threshold (PERF.md
+    round-5 section).  Negative estimates OUTSIDE the band are genuine
+    QUADRATURE error of the signed-weight sparse rule on a kinked
+    integrand — an f64 evaluation (and the reference) computes and uses
+    the same value, so they pass through (e.g. the arm planner's 7-D
+    deg-3 rule reads E[hinge] = -0.058 at 2.7e4 ulps on its initial
+    trajectory; poisoning that froze the whole run)."""
     diff = _sigma_diffs(nodes, cov, eval_dtype)
     phi = eval_phi(cost_fn, diff + mu[:, None, :], params)
     wphi = phi * weights[None, :]
     tot = jnp.sum(wphi, axis=-1)
     absum = jnp.sum(jnp.abs(wphi), axis=-1)
-    tol = 64.0 * float(jnp.finfo(tot.dtype).eps)
-    return jnp.where(jnp.abs(tot) < tol * absum, jnp.nan, tot)
+    eps = float(jnp.finfo(tot.dtype).eps)
+    bad = jnp.abs(tot) < 64.0 * eps * absum
+    if nonneg:
+        bad = bad | ((tot < 0.0) & (tot > -_NONNEG_BAND * eps * absum))
+    return jnp.where(bad, jnp.nan, tot)
 
 
 def ngd_local_gradients(
@@ -308,6 +368,22 @@ def linear_local_gradients(
     return vdmu, vddmu
 
 
+def _guard_linear_cost(cost: jnp.ndarray) -> jnp.ndarray:
+    """Nonneg contract for CLOSED-FORM linear factor costs: tr(A Sigma) +
+    ||resid||^2_P is >= 0 in exact arithmetic for ANY SPD Sigma (A PSD),
+    so — unlike the quadrature estimates, which have a legitimate
+    negative-error regime — a negative value here is always f32 garbage.
+    The round-5 device probe (scripts/r5_collapse_probe.py) pinned ALL 7
+    residual PERF-section-27 collapses to exactly this term: on
+    huge-spread trial iterates the signed elementwise sums of tr(A Sigma)
+    cancel catastrophically (f32 totals of -4.8e3/-1.4e5 against f64
+    +2.6e4/+7.0e4) while the nonlinear quadrature sums stay healthy
+    (min |sum|/sum|w phi| ~ 0.04).  Poisoning to NaN rejects the trial —
+    the f64-reject behavior at f32 speed (same philosophy as the chain
+    pivot-trust and quadrature cancellation guards)."""
+    return jnp.where(cost < 0, jnp.nan, cost)
+
+
 def batch_linear_cost(lb, mu, cov_diag, cov_off, blockwise: bool = True):
     """E[psi] for a LinearFactorBatch from the chain blocks.
 
@@ -371,7 +447,7 @@ def linear_cost_chain(
         "krt,kt->kr", psi, target_mu
     )
     quad = einsum("kr,krs,ks->k", resid, target_prec, resid)
-    return (tr_term + quad) * constant
+    return _guard_linear_cost((tr_term + quad) * constant)
 
 
 def linear_cost(
@@ -393,4 +469,4 @@ def linear_cost(
         "krt,kt->kr", psi, target_mu
     )
     quad = einsum("kr,krs,ks->k", resid, target_prec, resid)
-    return (tr_term + quad) * constant
+    return _guard_linear_cost((tr_term + quad) * constant)

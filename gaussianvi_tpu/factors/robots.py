@@ -96,6 +96,23 @@ class DHForwardKinematics:
         return pos + einsum("sij,sj->si", rot, self.centers)
 
 
+def marginal_rule(state_dim: int, config_dim: int, gh_degree: int,
+                  kind: str = "sparse"):
+    """``config_dim``-dim quadrature rule ZERO-PADDED to ``state_dim``
+    (NonlinearFactorBatch.quad_rdim): collision costs read only the
+    leading configuration block of the state — position (or joint angles),
+    never velocity — so the expectation integrates over the configuration
+    MARGINAL (the reference's factors integrate over their own
+    ``dimension``-dim Pk subspace the same way,
+    gvibase/GVIFactorizedBase.h:63-70).  Cuts sigma points ~3.2-3.4x at
+    the planning shapes (rule(2,3): 13 nodes vs rule(4,3): 41;
+    rule(3,3): 25 vs rule(6,3): 85); the skipped velocity-block moment
+    mass is restored exactly in closed form (moments.gh_moments rdim)."""
+    nodes, weights = get_rule(config_dim, gh_degree, kind)
+    pad = np.zeros((nodes.shape[0], state_dim - config_dim), nodes.dtype)
+    return np.concatenate([np.asarray(nodes), pad], axis=1), weights
+
+
 def _resolve_interp(interp: str) -> str:
     """``interp="auto"``: one-hot hat-function matmul interpolation on
     TPU (gather-free — the planar planner measured 15x the gather path,
@@ -192,6 +209,7 @@ def make_planar_obstacle_factor(
     gh_degree: int = 3,
     patch_size: int | None = None,
     interp: str = "auto",
+    marginal_quad: bool = True,
     dtype=None,
 ) -> NonlinearFactorBatch:
     """Per-state planar collision factor psi(x) = hinge(sd(balls(x)))
@@ -225,7 +243,18 @@ def make_planar_obstacle_factor(
             sdf, patch_size, epsilon, radius, cost_sigma, slope
         )
 
-    nodes, weights = get_rule(state_dim, gh_degree)
+    # configuration-marginal quadrature (see marginal_rule): the known
+    # balls_fns read pose[:2] / pose[:3]; custom balls_fns keep the
+    # full-state rule.  Patch (lanes) mode keeps it too — the kernels
+    # don't implement the e_xxt lift.
+    rdim = None
+    if marginal_quad and lanes_cost is None:
+        rdim = (2 if balls_fn is planar_point_balls
+                else 3 if balls_fn is planar_quad_balls else None)
+    if rdim is not None:
+        nodes, weights = marginal_rule(state_dim, rdim, gh_degree)
+    else:
+        nodes, weights = get_rule(state_dim, gh_degree)
     dtype = dtype or jnp.zeros(0).dtype
     start_np = np.asarray(start_indices, np.int32)
     return NonlinearFactorBatch(
@@ -238,6 +267,8 @@ def make_planar_obstacle_factor(
         nb=1,
         lanes_cost=lanes_cost,
         lanes_prep=lanes_prep,
+        nonneg_cost=True,   # hinge loss: phi >= 0 everywhere
+        quad_rdim=rdim,
     )
 
 
@@ -318,6 +349,7 @@ def make_point3d_obstacle_factor(
     gh_degree: int = 3,
     patch_size: int | None = None,
     interp: str = "auto",
+    marginal_quad: bool = True,
     dtype=None,
 ) -> NonlinearFactorBatch:
     """3-D point-robot collision factor: one ball at (x, y, z) -> trilinear
@@ -348,7 +380,13 @@ def make_point3d_obstacle_factor(
             sdf, patch_size, epsilon, radius, cost_sigma, slope
         )
 
-    nodes, weights = get_rule(state_dim, gh_degree)
+    # position-marginal quadrature (see marginal_rule); the patch (lanes)
+    # mode keeps the full-state rule — no in-kernel e_xxt lift
+    rdim = 3 if (marginal_quad and lanes_cost is None) else None
+    if rdim is not None:
+        nodes, weights = marginal_rule(state_dim, rdim, gh_degree)
+    else:
+        nodes, weights = get_rule(state_dim, gh_degree)
     dtype = dtype or jnp.zeros(0).dtype
     start_np = np.asarray(start_indices, np.int32)
     return NonlinearFactorBatch(
@@ -361,6 +399,8 @@ def make_point3d_obstacle_factor(
         nb=1,
         lanes_cost=lanes_cost,
         lanes_prep=lanes_prep,
+        nonneg_cost=True,   # hinge loss: phi >= 0 everywhere
+        quad_rdim=rdim,
     )
 
 
@@ -376,12 +416,14 @@ def make_arm_obstacle_factor(
     gh_degree: int = 3,
     n_joints: int | None = None,
     interp: str = "auto",
+    marginal_quad: bool = True,
     dtype=None,
 ) -> NonlinearFactorBatch:
     """Arm collision factor: DH FK -> sphere centers -> 3-D SDF -> hinge
     (CudaOperation_3dArm::cost_obstacle; state = [theta; theta_dot], the
     first n_joints entries are joint angles).  ``interp``: see
-    :func:`_resolve_interp`."""
+    :func:`_resolve_interp`; ``marginal_quad``: joint-angle-marginal
+    quadrature (see :func:`marginal_rule`)."""
     radii = jnp.asarray(radii)
     nj = n_joints if n_joints is not None else state_dim // 2
     lookup = (
@@ -397,7 +439,11 @@ def make_arm_obstacle_factor(
         sd = lookup(centers)
         return hinge_obstacle_cost(sd, epsilon, radii, cost_sigma, slope)
 
-    nodes, weights = get_rule(state_dim, gh_degree)
+    rdim = nj if (marginal_quad and nj < state_dim) else None
+    if rdim is not None:
+        nodes, weights = marginal_rule(state_dim, rdim, gh_degree)
+    else:
+        nodes, weights = get_rule(state_dim, gh_degree)
     dtype = dtype or jnp.zeros(0).dtype
     start_np = np.asarray(start_indices, np.int32)
     return NonlinearFactorBatch(
@@ -408,4 +454,6 @@ def make_arm_obstacle_factor(
         params=None,
         cost_fn=cost_fn,
         nb=1,
+        nonneg_cost=True,   # hinge loss: phi >= 0 everywhere
+        quad_rdim=rdim,
     )

@@ -18,9 +18,11 @@ Here an SDF is a pytree of arrays.  Two interpolation backends:
   as dense one-hot MATMULS against the whole field.  XLA gathers
   serialize on TPU — the planning workloads measured gather-BOUND and
   flat in batch (PERF.md sections 17/29) — while this form is pure
-  MXU/VPU work that scales with the batch.  Identical values to the
-  gather path (the hats reproduce the 4-corner/8-corner blend exactly,
-  clamping included).
+  MXU/VPU work that scales with the batch.  The hats reproduce the
+  4-corner/8-corner blend exactly (clamping included): identical values
+  to the gather path up to the MXU contraction precision
+  (``_SDF_MATMUL_PRECISION``, bf16x3 ~ f32-accurate products; exactly
+  identical on CPU, where the precision kwarg is a no-op).
 """
 
 from __future__ import annotations
@@ -29,8 +31,31 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
-from ..ops.precision import einsum
+
+# MXU precision for the FIELD-WIDE hat contractions only.  Unlike the
+# tiny-block algebra ops/precision pins to HIGHEST (6 bf16 MXU passes per
+# f32 product — latency-bound there, so the passes are free), these
+# matmuls sweep the whole SDF field per sigma point and ARE MXU-bound on
+# the planners; HIGH (3 passes, ~f32-accurate products via bf16x3) halves
+# that.  Interpolation is a convex combination of stored field values, so
+# f32-class product accuracy is the natural target — HIGHEST buys nothing
+# measurable while doubling the dominant planning cost.  Device A/B and
+# accuracy adjudication: PERF.md (round 5); override for experiments via
+# set_sdf_matmul_precision.
+_SDF_MATMUL_PRECISION = lax.Precision.HIGH
+
+
+def set_sdf_matmul_precision(p) -> None:
+    """Override the SDF hat-contraction MXU precision (A/B experiments;
+    takes effect at the next trace)."""
+    global _SDF_MATMUL_PRECISION
+    _SDF_MATMUL_PRECISION = lax.Precision(p) if isinstance(p, str) else p
+
+
+def _sdf_einsum(*args, **kwargs):
+    return jnp.einsum(*args, precision=_SDF_MATMUL_PRECISION, **kwargs)
 
 
 @jax.tree_util.register_dataclass
@@ -98,7 +123,7 @@ class PlanarSDF:
         )
         # (wr @ F) then a row-reduction against wc: one [Q, rows] x
         # [rows, cols] MXU contraction + a VPU reduce — no gathers
-        return einsum("...i,ij,...j->...", wr, self.data, wc)
+        return _sdf_einsum("...i,ij,...j->...", wr, self.data, wc)
 
 
 @jax.tree_util.register_dataclass
@@ -188,7 +213,7 @@ class SDF3D:
             0.0, 1.0 - jnp.abs(zz[..., None] - jnp.arange(nz, dtype=zz.dtype))
         )
         wzr = wz[..., :, None] * wr[..., None, :]       # [..., nz, rows]
-        t = einsum("...zi,zij->...j", wzr, self.data)   # [..., cols]
+        t = _sdf_einsum("...zi,zij->...j", wzr, self.data)  # [..., cols]
         return jnp.sum(t * wc, axis=-1)
 
 

@@ -67,6 +67,12 @@ class LocalEngine:
     # (run_gvi only takes a fused path when its eval_dtype matches)
     fused_eval_dtype = None
     fused_grad_eval_dtype = None
+    # Pallas interpret-mode override for the fused kernels (None = the
+    # kernels' own default: compiled iff the PROCESS default backend is
+    # TPU).  Engines built for a mesh whose devices differ from the
+    # process default (e.g. the dryrun's virtual CPU mesh in a TPU-default
+    # process) must pass True, or the kernels try to compile on CPU.
+    kernel_interpret: bool | None = None
 
     def __init__(self, graph: FactorGraph, config, use_pallas=None,
                  quad_impl=None):
@@ -152,6 +158,10 @@ class LocalEngine:
         nl_specs, lin_specs, flat, preps = [], [], [], []
         for fb in g.nonlinear:
             if fb.lanes_cost is None or fb.nb != 1:
+                return None
+            if fb.quad_rdim is not None:
+                # marginal-quadrature batches need the e_xxt lift
+                # (moments.gh_moments) — not implemented in-kernel
                 return None
             if fb.lanes_prep is not None and not allow_prep:
                 return None
@@ -242,6 +252,7 @@ class LocalEngine:
         self._fused_specs = (nl_specs, lin_specs)  # introspection/probing
         fn = make_trial_costs_vmappable(
             n, s, n_trials, nl_specs, lin_specs, eval_dtype=eval_dtype,
+            interpret=self.kernel_interpret,
         )
         self.fused_eval_dtype = eval_dtype
         return fn, flat
@@ -276,6 +287,7 @@ class LocalEngine:
             return None
         fn = make_gradient_vmappable(
             n, s, nl_specs, lin_specs, eval_dtype=eval_dtype,
+            interpret=self.kernel_interpret,
         )
         self.fused_grad_eval_dtype = eval_dtype
         return fn, flat, preps

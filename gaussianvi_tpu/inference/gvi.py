@@ -40,7 +40,7 @@ def factor_costs(
         mu_k, cov_k = gather_marginals(fb.start, fb.nb, mu, cov_diag, cov_off, fb.slice_offset)
         e_phi = mm.expectation_phi(
             fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params,
-            eval_dtype,
+            eval_dtype, nonneg=fb.nonneg_cost,
         )
         costs.append(e_phi / t)
     for lb in graph.linear:

@@ -25,7 +25,8 @@ def factor_expectations(
             fb.start, fb.nb, state.mu, cov_diag, cov_off
         )
         e_phi, e_xmu, e_xxt = mm.gh_moments(
-            fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params
+            fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params,
+            rdim=fb.quad_rdim,
         )
         out.append(
             {"e_phi": e_phi, "e_xmu_phi": e_xmu, "e_xmumu_phi": e_xxt}

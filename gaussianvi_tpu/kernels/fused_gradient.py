@@ -763,13 +763,24 @@ def gradient_lanes(
         operands.append(lanes(pc))
         in_specs.append(spec((sp.ka, sp.r, sp.r, rb, LANE)))
 
-    # out vma = the JOIN of the operand vmas: under fp sharding the nl
-    # operands are fp-varying while (mu, pd, po) are fp-replicated, and
-    # the "accum" outputs inherit the union (the "solve"/"full" calls see
-    # only invariant-or-dp operands, where this reduces to mu's vma)
-    vma: frozenset = frozenset()
-    for op in operands:
-        vma = vma | getattr(jax.typeof(op), "vma", frozenset())
+    # out vma: "accum" outputs are THIS SHARD's partial gradients — they
+    # genuinely vary over every axis any operand varies over (the JOIN,
+    # so the fp axis of the sharded nl operands is carried to the psum).
+    # "solve" sees only fp-invariant operands (state + psum'd seeds +
+    # replicated linear factors), so the join equals mu's vma there.  The
+    # single-kernel "full" mode declares mu's vma DELIBERATELY: it is
+    # only ever built on meshes whose factor axis has size 1
+    # (FactorShardEngine fp_size==1 / LocalEngine off-mesh), where the
+    # fp-varying TYPE of the factor operands is vacuous — joining it in
+    # would make the whole GVI loop carry (mu, precision, covariance)
+    # fp-varying and break the scan's carry typing (the round-5 1x1-mesh
+    # device-gate regression).
+    if mode == "accum":
+        vma: frozenset = frozenset()
+        for op in operands:
+            vma = vma | getattr(jax.typeof(op), "vma", frozenset())
+    else:
+        vma = getattr(jax.typeof(mu_l), "vma", frozenset()) or frozenset()
 
     def sds(shape):
         if vma:

@@ -97,7 +97,8 @@ def _row_block_quad(k: int, s: int, m: int, with_moments: bool,
 
 
 def _quad_kernel(k_factors, s, with_moments, lanes_cost, param_shapes,
-                 eval_dtype, mu_ref, covd_ref, nodes_ref, w_ref, *rest):
+                 eval_dtype, nonneg, mu_ref, covd_ref, nodes_ref, w_ref,
+                 *rest):
     """Inputs: mu [1, K, s, RB, 128], covd [1, K, s, s, RB, 128],
     nodes [1, s, M, RB, 128] (lanes-broadcast node components),
     w [1, M, RB, 128], param leaves [1, K, *leaf, RB, 128]; outputs
@@ -172,6 +173,17 @@ def _quad_kernel(k_factors, s, with_moments, lanes_cost, param_shapes,
         if not with_moments:
             tot, absum = acc[0][0], acc[1][0]
             bad = jnp.abs(tot) < _cancel_tol(tot.dtype) * absum
+            if nonneg:
+                # nonneg-phi contract (NonlinearFactorBatch.nonneg_cost):
+                # a negative estimate inside the ROUNDING-noise band is
+                # sign-garbage (see moments._NONNEG_BAND); legit
+                # quadrature-error negatives outside it pass through
+                from ..factors.moments import _NONNEG_BAND
+
+                eps = float(jnp.finfo(tot.dtype).eps)
+                bad = bad | (
+                    (tot < 0.0) & (tot > -_NONNEG_BAND * eps * absum)
+                )
             e_phi_ref[0, k] = jnp.where(
                 bad, jnp.full_like(tot, jnp.nan), tot
             )
@@ -199,6 +211,7 @@ def quad_lanes(
     with_moments: bool = False,
     interpret: bool | None = None,
     eval_dtype=None,
+    nonneg: bool = False,
 ):
     """Batched fused quadrature: mu [B, K, d], cov [B, K, d, d],
     nodes [M, d], weights [M], params leaves [B, K, *leaf] ->
@@ -290,7 +303,7 @@ def quad_lanes(
 
     kernel = functools.partial(
         _quad_kernel, k, d, with_moments, lanes_cost, param_shapes,
-        eval_dtype,
+        eval_dtype, nonneg,
     )
     out = pl.pallas_call(
         kernel,
@@ -324,7 +337,7 @@ def _ensure(axis_size, x, batched):
 
 def quad_lanes_vmappable(nodes, weights, mu, cov, lanes_cost, params=(),
                          with_moments=False, interpret=None,
-                         eval_dtype=None):
+                         eval_dtype=None, nonneg=False):
     """``quad_lanes`` on UNBATCHED per-problem operands (mu [K, d], ...),
     efficient under (nested) outer vmaps: every batch axis (problems x
     line-search trials) flattens onto the 128 lanes, exactly like the chain
@@ -343,7 +356,7 @@ def quad_lanes_vmappable(nodes, weights, mu, cov, lanes_cost, params=(),
         # base signature is BATCHED: mu_ [B, K, d]
         return quad_lanes(
             mu_, cov_, nodes_, weights_, lanes_cost, tuple(params_),
-            with_moments, interpret, eval_dtype,
+            with_moments, interpret, eval_dtype, nonneg,
         )
 
     @call.def_vmap

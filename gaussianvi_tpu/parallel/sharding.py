@@ -216,7 +216,8 @@ class FactorShardEngine(LocalEngine):
     carry_axes = ("dp",)
 
     def __init__(self, graph: FactorGraph, config, axis: str = "fp",
-                 fp_size: int | None = None):
+                 fp_size: int | None = None,
+                 kernel_interpret: bool | None = None):
         # "auto" should have been resolved against the mesh by
         # optimize_sharded (resolve_sharded_impls); an engine constructed
         # directly without a mesh falls back to the scan paths (the
@@ -246,6 +247,10 @@ class FactorShardEngine(LocalEngine):
         # exactly as valid as in the local engine.
         self._fp_size = fp_size
         self.axis = axis
+        # must land before super().__init__ (which builds the kernels);
+        # see LocalEngine.kernel_interpret — the dryrun's virtual CPU mesh
+        # in a TPU-default process passes True here
+        self.kernel_interpret = kernel_interpret
         super().__init__(
             graph, config, use_pallas=False, quad_impl=config.quad_impl
         )
@@ -280,9 +285,11 @@ class FactorShardEngine(LocalEngine):
             return None
         fn_a = make_gradient_vmappable(
             n, s, nl_specs, (), eval_dtype=eval_dtype, mode="accum",
+            interpret=self.kernel_interpret,
         )
         fn_b = make_gradient_vmappable(
             n, s, (), lin_specs, eval_dtype=eval_dtype, mode="solve",
+            interpret=self.kernel_interpret,
         )
         n_nl_slots = sum(
             (1 if sp.slice_offset is None else 0) + 2 + len(sp.param_shapes)

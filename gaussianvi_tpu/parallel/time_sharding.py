@@ -177,7 +177,7 @@ class TimeShardEngine:
         for fb in g.nonlinear:
             out.append(mm.expectation_phi(
                 fb.nodes, fb.weights, mu_l, cov_diag, fb.cost_fn, fb.params,
-                eval_dtype,
+                eval_dtype, nonneg=fb.nonneg_cost,
             ))
         for lb in g.linear:
             if lb.nb == 2 and mu_e is None:
@@ -209,7 +209,7 @@ class TimeShardEngine:
         for fb in g.nonlinear:
             e_phi, e_xmu, e_xxt = mm.gh_moments(
                 fb.nodes, fb.weights, mu_l, cov_diag, fb.cost_fn, fb.params,
-                eval_dtype,
+                eval_dtype, rdim=fb.quad_rdim,
             )
             vd, vdd = mm.ngd_local_gradients(
                 e_phi, e_xmu, e_xxt, cov_diag, temperature
@@ -254,7 +254,8 @@ class TimeShardEngine:
 
         for fb in g.nonlinear:
             e_phi, e_xmu, e_xxt = mm.gh_moments(
-                fb.nodes, fb.weights, mu_l, cov_diag, fb.cost_fn, fb.params
+                fb.nodes, fb.weights, mu_l, cov_diag, fb.cost_fn, fb.params,
+                rdim=fb.quad_rdim,
             )
             b_k, s_k = mm.bw_local_gradients(e_phi, e_xmu, e_xxt, cov_diag)
             vd, vdd = _bw_jko_step(b_k, s_k, cov_diag, step_size)

@@ -42,10 +42,14 @@ def bench_case(name, build_fn, patch_size, restarts, niters, methods,
 
     variants = {}
     for label, kw in (
-        # interp pinned per variant: "auto" now resolves to matmul on TPU
+        # interp pinned per variant: "auto" now resolves to matmul on TPU.
+        # "matmul" rides the round-5 defaults (configuration-marginal
+        # quadrature, factors.robots.marginal_rule); "matmul-full" pins
+        # the old full-state rule to isolate the marginal-quad gain.
         ("xla", {"interp": "gather"}),
         ("patch", {"patch_size": patch_size, "interp": "gather"}),
         ("matmul", {"interp": "matmul"}),
+        ("matmul-full", {"interp": "matmul", "marginal_quad": False}),
     ):
         graph, init, config, _ = build_fn(gh_degree=3, **kw)
         config = replace(
