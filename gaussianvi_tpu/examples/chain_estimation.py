@@ -77,8 +77,15 @@ def build_chain_estimation(
     seed: int = 0,
     meas_sigma: float | None = None,
     anchor_cov: float = 0.01,
+    marginal_quad: bool = True,
     dtype=None,
 ):
+    """``marginal_quad``: the range cost reads only the position block
+    (x[:dim_x]), so the measurement factor integrates over the position
+    MARGINAL by default (factors.base.marginal_rule — e.g. 29 vs 137
+    sigma points at dim_x=2/degree 4) with the velocity-block moment
+    mass restored exactly in closed form; False keeps the full-state
+    rule (rounds 1-4 behavior)."""
     dtype = dtype or jnp.zeros(0).dtype
     state_dim = 2 * dim_x
     pos, v0, beacon, ranges, sig_r = simulate_trajectory(
@@ -108,6 +115,7 @@ def build_chain_estimation(
         block_cost=range_cost_block,
         lanes_cost=range_cost_lanes,
         nonneg_cost=True,   # squared residual: E[phi] >= 0 by construction
+        quad_rdim=dim_x if marginal_quad else None,
         dtype=dtype,
     )
     graph = FactorGraph(

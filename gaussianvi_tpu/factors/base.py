@@ -84,15 +84,17 @@ class NonlinearFactorBatch:
     # LEADING ``quad_rdim`` dims of the local support (e.g. collision
     # costs read position, never velocity — reference analog: the factor's
     # own ``dimension``-dim subspace via Pk, gvibase/GVIFactorizedBase.h:63-70),
-    # so ``nodes`` hold an r-dim rule ZERO-PADDED to d.  With Cholesky
-    # sigma placement the padded nodes land the cost evaluations exactly
-    # on the position-marginal sigma points, E[phi] and E[(x-mu)phi]
-    # assemble exactly (the Gaussian conditional lift collapses onto the
-    # standard assembly — see moments.gh_moments), and E[(x-mu)(x-mu)^T
-    # phi] needs one closed-form correction term added there.  Cuts sigma
-    # points ~3.2-3.4x on the planners (rule(2,deg) = 13 vs rule(4,deg) =
-    # 41 nodes at degree 3).  The lanes/fused kernels do not implement the
-    # lift: batches with quad_rdim set always take the XLA moments path.
+    # so ``nodes`` hold an r-dim rule ZERO-PADDED to d (see
+    # :func:`marginal_rule`).  With Cholesky sigma placement the padded
+    # nodes land the cost evaluations exactly on the position-marginal
+    # sigma points, E[phi] and E[(x-mu)phi] assemble exactly (the Gaussian
+    # conditional lift collapses onto the standard assembly — see
+    # moments.gh_moments), and E[(x-mu)(x-mu)^T phi] needs one closed-form
+    # correction term.  Cuts sigma points ~3.2-4.7x (rule(2,3) = 13 vs
+    # rule(4,3) = 41; rule(2,4) = 29 vs rule(4,4) = 137).  Supported on
+    # every path: XLA moments, the lanes quadrature kernel, and the fused
+    # trial/gradient kernels (the trial kernel's E[phi] is exact as-is;
+    # the moment paths add the lift in closed form).
     quad_rdim: int | None = field(metadata=dict(static=True), default=None)
 
     @property
@@ -115,11 +117,20 @@ def make_nonlinear_batch(
     block_cost: Any = None,
     lanes_cost: Any = None,
     nonneg_cost: bool = False,
+    quad_rdim: int | None = None,
     dtype=None,
 ) -> NonlinearFactorBatch:
-    """Build a NonlinearFactorBatch with a (dim, degree) quadrature rule."""
+    """Build a NonlinearFactorBatch with a (dim, degree) quadrature rule.
+
+    ``quad_rdim``: the cost reads only the leading ``quad_rdim`` dims of
+    its support — build the configuration-MARGINAL rule instead (see
+    :func:`marginal_rule` and :attr:`NonlinearFactorBatch.quad_rdim`)."""
     dim = nb * state_dim
-    nodes, weights = get_rule(dim, gh_degree, kind)
+    if quad_rdim is not None and quad_rdim < dim:
+        nodes, weights = marginal_rule(dim, quad_rdim, gh_degree, kind)
+    else:
+        nodes, weights = get_rule(dim, gh_degree, kind)
+        quad_rdim = None
     dtype = dtype or jnp.zeros(0).dtype
     start_np = np.asarray(start_indices, dtype=np.int32)
     return NonlinearFactorBatch(
@@ -132,8 +143,25 @@ def make_nonlinear_batch(
         block_cost=block_cost,
         lanes_cost=lanes_cost,
         nonneg_cost=nonneg_cost,
+        quad_rdim=quad_rdim,
         slice_offset=detect_slice_offset(start_np),
     )
+
+
+def marginal_rule(state_dim: int, config_dim: int, gh_degree: int,
+                  kind: str = "sparse"):
+    """``config_dim``-dim quadrature rule ZERO-PADDED to ``state_dim``
+    (see :attr:`NonlinearFactorBatch.quad_rdim`): costs reading only the
+    leading configuration block of the state integrate over the
+    configuration MARGINAL (the reference's factors integrate over their
+    own ``dimension``-dim Pk subspace the same way,
+    gvibase/GVIFactorizedBase.h:63-70) — ~3.2-4.7x fewer sigma points at
+    the shipped shapes, with the skipped velocity-block moment mass
+    restored exactly in closed form (moments.gh_moments rdim)."""
+    nodes, weights = get_rule(config_dim, gh_degree, kind)
+    nodes = np.asarray(nodes)
+    pad = np.zeros((nodes.shape[0], state_dim - config_dim), nodes.dtype)
+    return np.concatenate([nodes, pad], axis=1), weights
 
 
 def detect_slice_offset(start_np) -> int | None:

@@ -95,10 +95,6 @@ def _lanes_eligible(fb, eval_dtype, with_moments: bool) -> bool:
     float16 has no native TPU cast and keeps the XLA path)."""
     if fb.lanes_cost is None:
         return False
-    if fb.quad_rdim is not None:
-        # marginal quadrature: the kernels do not implement the e_xxt
-        # conditional-moment lift (see gh_moments) — XLA path only
-        return False
     if eval_dtype is not None and jnp.dtype(eval_dtype) != jnp.dtype(
         jnp.bfloat16
     ):
@@ -121,7 +117,7 @@ def batch_phi(fb, mu_k, cov_k, eval_dtype=None, quad_impl: str = "xla"):
         return quad_lanes_vmappable(
             fb.nodes, fb.weights, mu_k, cov_k, fb.lanes_cost,
             _lanes_leaves(fb, mu_k), eval_dtype=eval_dtype,
-            nonneg=fb.nonneg_cost,
+            nonneg=fb.nonneg_cost, rdim=fb.quad_rdim,
         )
     return expectation_phi(
         fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params, eval_dtype,
@@ -156,7 +152,7 @@ def batch_moments(fb, mu_k, cov_k, use_pallas: bool = False,
         return quad_lanes_vmappable(
             fb.nodes, fb.weights, mu_k, cov_k, fb.lanes_cost,
             _lanes_leaves(fb, mu_k), with_moments=True,
-            eval_dtype=eval_dtype,
+            eval_dtype=eval_dtype, rdim=fb.quad_rdim,
         )
     return gh_moments(
         fb.nodes, fb.weights, mu_k, cov_k, fb.cost_fn, fb.params, eval_dtype,
@@ -212,11 +208,13 @@ def gh_moments(
         E[(x-mu)(x-mu)^T phi]  = L (sum_m w_m xi~ xi~^T phi) L^T
                                  + (Sigma - C Spp^-1 C^T) E[phi]
 
-    with C = Sigma P^T, Spp = P Sigma P^T, and C Spp^-1 C^T =
-    L[:, :r] L[:, :r]^T — only the last line's correction term is not
-    produced by the standard assembly, and it is added here in closed form
-    (no extra quadrature).  Derivation: E[x-mu | p] = C Spp^-1 (p-mu_p) and
-    E[(x-mu)(x-mu)^T | p] = Sigma - C Spp^-1 C^T + (C Spp^-1 (p-mu_p))(.)^T.
+    with C = Sigma P^T, Spp = P Sigma P^T, and Sigma - C Spp^-1 C^T =
+    L[:, r:] L[:, r:]^T (a cancellation-free sum of products, nonzero only
+    in the trailing velocity block) — only the last line's correction term
+    is not produced by the standard assembly, and it is added here in
+    closed form (no extra quadrature).  Derivation: E[x-mu | p] =
+    C Spp^-1 (p-mu_p) and E[(x-mu)(x-mu)^T | p] = Sigma - C Spp^-1 C^T +
+    (C Spp^-1 (p-mu_p))(.)^T.
     """
     sqrt_p = chol_small(cov)                      # [K,d,d] lower
     diff = einsum("md,ked->kme", nodes, sqrt_p)   # [K,M,d]
@@ -229,8 +227,8 @@ def gh_moments(
     e_xmu = einsum("km,kmd->kd", wphi, diff)
     e_xxt = einsum("km,kmd,kme->kde", wphi, diff, diff)
     if rdim is not None and rdim < mu.shape[-1]:
-        lr = sqrt_p[..., :rdim]                   # L[:, :r]  [K,d,r]
-        corr = cov - einsum("kar,kbr->kab", lr, lr)
+        lhi = sqrt_p[..., rdim:]                  # L[:, r:]  [K,d,d-r]
+        corr = einsum("kat,kbt->kab", lhi, lhi)
         e_xxt = e_xxt + corr * e_phi[:, None, None]
     return e_phi, e_xmu, e_xxt
 

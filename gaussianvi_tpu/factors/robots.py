@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .base import NonlinearFactorBatch, detect_slice_offset
+from .base import NonlinearFactorBatch, detect_slice_offset, marginal_rule
 from .sdf import PlanarSDF, SDF3D, hinge_obstacle_cost
 from ..quadrature import get_rule
 from ..ops.precision import einsum, matmul
@@ -96,21 +96,6 @@ class DHForwardKinematics:
         return pos + einsum("sij,sj->si", rot, self.centers)
 
 
-def marginal_rule(state_dim: int, config_dim: int, gh_degree: int,
-                  kind: str = "sparse"):
-    """``config_dim``-dim quadrature rule ZERO-PADDED to ``state_dim``
-    (NonlinearFactorBatch.quad_rdim): collision costs read only the
-    leading configuration block of the state — position (or joint angles),
-    never velocity — so the expectation integrates over the configuration
-    MARGINAL (the reference's factors integrate over their own
-    ``dimension``-dim Pk subspace the same way,
-    gvibase/GVIFactorizedBase.h:63-70).  Cuts sigma points ~3.2-3.4x at
-    the planning shapes (rule(2,3): 13 nodes vs rule(4,3): 41;
-    rule(3,3): 25 vs rule(6,3): 85); the skipped velocity-block moment
-    mass is restored exactly in closed form (moments.gh_moments rdim)."""
-    nodes, weights = get_rule(config_dim, gh_degree, kind)
-    pad = np.zeros((nodes.shape[0], state_dim - config_dim), nodes.dtype)
-    return np.concatenate([np.asarray(nodes), pad], axis=1), weights
 
 
 def _resolve_interp(interp: str) -> str:

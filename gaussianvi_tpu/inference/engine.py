@@ -159,10 +159,6 @@ class LocalEngine:
         for fb in g.nonlinear:
             if fb.lanes_cost is None or fb.nb != 1:
                 return None
-            if fb.quad_rdim is not None:
-                # marginal-quadrature batches need the e_xxt lift
-                # (moments.gh_moments) — not implemented in-kernel
-                return None
             if fb.lanes_prep is not None and not allow_prep:
                 return None
             if fb.slice_offset is None and not fb.shared_start:
@@ -198,6 +194,7 @@ class LocalEngine:
                 k,
                 fb.nodes.shape[0],
                 fb.slice_offset,
+                fb.quad_rdim,
             ))
             if fb.slice_offset is None:
                 flat.append(fb.start)

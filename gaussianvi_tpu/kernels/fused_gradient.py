@@ -362,6 +362,21 @@ def _grad_kernel(n, s, nl_specs, lin_specs, eval_dtype, mode,
         for t_, (a_, b_) in enumerate(tri):
             e_xxt[a_][b_] = e_xxt_tri[t_]
             e_xxt[b_][a_] = e_xxt_tri[t_]
+        if sp.rdim is not None and sp.rdim < s:
+            # configuration-marginal quadrature: add the closed-form
+            # conditional-moment lift (moments.gh_moments) —
+            # corr = L[:, r:] L[:, r:]^T, a cancellation-free sum of
+            # products nonzero only where BOTH indices are >= rdim
+            for a_ in range(sp.rdim, s):
+                for b_ in range(sp.rdim, a_ + 1):
+                    c_ab = None
+                    for t_ in range(sp.rdim, b_ + 1):
+                        term = chol_l[a_][t_] * chol_l[b_][t_]
+                        c_ab = term if c_ab is None else c_ab + term
+                    c_ab = c_ab * e_phi
+                    e_xxt[a_][b_] = e_xxt[a_][b_] + c_ab
+                    if b_ != a_:
+                        e_xxt[b_][a_] = e_xxt[b_][a_] + c_ab
         p = _inv_from_chol(chol_l, s, one, zero)       # marginal precision
         # Vdmu_k = P e_xmu / T
         vd_new = []

@@ -120,6 +120,12 @@ class NLTrialSpec(NamedTuple):
     slice_offset: int | None              # start == offset + arange(k); None
     #                                       -> a [K] int32 starts array is
     #                                       passed (SMEM)
+    # configuration-marginal quadrature (NonlinearFactorBatch.quad_rdim):
+    # nodes are zero beyond the first rdim dims.  The TRIAL kernel's
+    # E[phi] is exact as-is (zero-padded placement IS the marginal rule);
+    # the GRADIENT kernel adds the closed-form e_xxt conditional-moment
+    # lift (moments.gh_moments) before the NGD assembly.
+    rdim: int | None = None
 
 
 class LinTrialSpec(NamedTuple):

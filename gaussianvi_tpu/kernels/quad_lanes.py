@@ -97,8 +97,8 @@ def _row_block_quad(k: int, s: int, m: int, with_moments: bool,
 
 
 def _quad_kernel(k_factors, s, with_moments, lanes_cost, param_shapes,
-                 eval_dtype, nonneg, mu_ref, covd_ref, nodes_ref, w_ref,
-                 *rest):
+                 eval_dtype, nonneg, rdim, mu_ref, covd_ref, nodes_ref,
+                 w_ref, *rest):
     """Inputs: mu [1, K, s, RB, 128], covd [1, K, s, s, RB, 128],
     nodes [1, s, M, RB, 128] (lanes-broadcast node components),
     w [1, M, RB, 128], param leaves [1, K, *leaf, RB, 128]; outputs
@@ -193,9 +193,20 @@ def _quad_kernel(k_factors, s, with_moments, lanes_cost, param_shapes,
             for i in range(s):
                 e_xmu_ref[0, k, i] = acc[1 + i][0]
             for t, (i, j) in enumerate(tri):
-                e_xxt_ref[0, k, i, j] = acc[1 + s + t][0]
+                val = acc[1 + s + t][0]
+                if rdim is not None and j >= rdim:
+                    # configuration-marginal quadrature: closed-form
+                    # conditional-moment lift (moments.gh_moments) —
+                    # corr = L[:, r:] L[:, r:]^T, nonzero only where
+                    # both indices are >= rdim (j <= i here)
+                    corr = None
+                    for tt in range(rdim, j + 1):
+                        term = chol[i][tt] * chol[j][tt]
+                        corr = term if corr is None else corr + term
+                    val = val + corr * acc[0][0]
+                e_xxt_ref[0, k, i, j] = val
                 if j != i:
-                    e_xxt_ref[0, k, j, i] = acc[1 + s + t][0]
+                    e_xxt_ref[0, k, j, i] = val
         return 0
 
     jax.lax.fori_loop(0, k_factors, body, 0)
@@ -212,6 +223,7 @@ def quad_lanes(
     interpret: bool | None = None,
     eval_dtype=None,
     nonneg: bool = False,
+    rdim: int | None = None,
 ):
     """Batched fused quadrature: mu [B, K, d], cov [B, K, d, d],
     nodes [M, d], weights [M], params leaves [B, K, *leaf] ->
@@ -303,7 +315,7 @@ def quad_lanes(
 
     kernel = functools.partial(
         _quad_kernel, k, d, with_moments, lanes_cost, param_shapes,
-        eval_dtype, nonneg,
+        eval_dtype, nonneg, rdim,
     )
     out = pl.pallas_call(
         kernel,
@@ -337,7 +349,7 @@ def _ensure(axis_size, x, batched):
 
 def quad_lanes_vmappable(nodes, weights, mu, cov, lanes_cost, params=(),
                          with_moments=False, interpret=None,
-                         eval_dtype=None, nonneg=False):
+                         eval_dtype=None, nonneg=False, rdim=None):
     """``quad_lanes`` on UNBATCHED per-problem operands (mu [K, d], ...),
     efficient under (nested) outer vmaps: every batch axis (problems x
     line-search trials) flattens onto the 128 lanes, exactly like the chain
@@ -356,7 +368,7 @@ def quad_lanes_vmappable(nodes, weights, mu, cov, lanes_cost, params=(),
         # base signature is BATCHED: mu_ [B, K, d]
         return quad_lanes(
             mu_, cov_, nodes_, weights_, lanes_cost, tuple(params_),
-            with_moments, interpret, eval_dtype, nonneg,
+            with_moments, interpret, eval_dtype, nonneg, rdim,
         )
 
     @call.def_vmap

@@ -124,6 +124,88 @@ class TestTensorRuleExactness:
         assert diff.max() > 1e-3
 
 
+class TestKernelLift:
+    def test_quad_lanes_moments_match_xla_lift(self):
+        """The lanes quadrature kernel's in-kernel e_xxt lift (interpret
+        mode) == gh_moments' closed-form lift."""
+        from gaussianvi_tpu.kernels.quad_lanes import quad_lanes
+
+        d, r, k, b = 4, 2, 3, 5
+        rng = np.random.default_rng(2)
+        mu = jnp.asarray(rng.standard_normal((b, k, d)), jnp.float32)
+        cov = jnp.asarray(_rand_spd(rng, k, d), jnp.float32)
+        cov = jnp.broadcast_to(cov, (b, k, d, d))
+        nr, wr = get_rule(r, 4, kind="sparse")
+        nodes = jnp.asarray(
+            np.concatenate([nr, np.zeros((nr.shape[0], d - r))], axis=1),
+            jnp.float32,
+        )
+        weights = jnp.asarray(wr, jnp.float32)
+
+        def lanes_cost(x):
+            return jnp.sin(x[0]) + (x[0] * x[1]) ** 2 + 0.1 * x[1] ** 4
+
+        out = quad_lanes(mu, cov, nodes, weights, lanes_cost,
+                         with_moments=True, interpret=True, rdim=r)
+        assert out is not None
+        ref = jax.vmap(
+            lambda m, c: mm.gh_moments(
+                nodes, weights, m, c, _pos_cost, None, rdim=r
+            )
+        )(mu, cov)
+        for a, b_ in zip(out, ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=2e-5, atol=2e-5
+            )
+
+    def test_fused_specs_carry_rdim(self):
+        """The engine's fused kernel specs carry quad_rdim, and the fused
+        path stays eligible for marginal batches."""
+        from gaussianvi_tpu.examples.chain_estimation import (
+            build_chain_estimation,
+        )
+        from gaussianvi_tpu.inference import GVIConfig
+        from gaussianvi_tpu.inference.engine import LocalEngine
+
+        graph, _, _ = build_chain_estimation(
+            num_states=8, dim_x=2, gh_degree=4
+        )
+        (fb,) = graph.nonlinear
+        assert fb.quad_rdim == 2
+        assert fb.nodes.shape[0] == 29          # rule(2, 4) vs rule(4, 4)=137
+        cfg = GVIConfig(niters=4, chain_impl="lanes")
+        eng = LocalEngine(graph, cfg)
+        assert eng.fused_gradient_ready
+        nl_specs = eng._fused_spec_cache[0]
+        assert nl_specs[0].rdim == 2
+
+    def test_flagship_marginal_matches_full_e2e(self):
+        """chain_estimation end-to-end: marginal (29-node) vs full-state
+        (137-node) quadrature converge to the same posterior."""
+        from gaussianvi_tpu.examples.chain_estimation import (
+            build_chain_estimation,
+        )
+        from gaussianvi_tpu.inference import GVIConfig, optimize
+
+        cfg = GVIConfig(niters=10, niters_lowtemp=10, step_size_base=0.9)
+        g_m, init, _ = build_chain_estimation(
+            num_states=12, dim_x=2, gh_degree=4
+        )
+        g_f, _, _ = build_chain_estimation(
+            num_states=12, dim_x=2, gh_degree=4, marginal_quad=False
+        )
+        s_m, h_m = optimize(g_m, init, cfg, method="ngd")
+        s_f, h_f = optimize(g_f, init, cfg, method="ngd")
+        cm = np.asarray(h_m.cost, np.float64)
+        cf = np.asarray(h_f.cost, np.float64)
+        assert np.isfinite(cm).all() and np.isfinite(cf).all()
+        rel = abs(cm[-1] - cf[-1]) / abs(cf[-1])
+        assert rel < 1e-3, (cm[-1], cf[-1])
+        np.testing.assert_allclose(
+            np.asarray(s_m.mu), np.asarray(s_f.mu), atol=5e-3
+        )
+
+
 class TestPlannerIntegration:
     def test_planar_planner_marginal_matches_full(self):
         """End-to-end planar planner: marginal (13-node) vs full-state
