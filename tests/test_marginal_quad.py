@@ -243,15 +243,17 @@ class TestPlannerIntegration:
         true_f = _true_joint_cost(g_f, s_f)
         assert true_m <= true_f * 1.05, (true_m, true_f)
 
-    def test_lanes_dispatch_declines_marginal(self):
-        """quad_impl='lanes' on a quad_rdim batch must fall back to the
-        XLA path (the kernels lack the lift) and still be exact."""
+    def test_matmul_interp_factors_use_xla_quadrature(self):
+        """The planner's matmul-interp factors carry no lanes_cost (the
+        SDF contraction is the XLA fast path), so quad_impl='lanes' falls
+        back to XLA — where the marginal lift lives in gh_moments."""
         from gaussianvi_tpu.examples.planar_planning import (
             build_planar_planning,
         )
 
         g_m, init, _, _ = build_planar_planning(gh_degree=3)
         (fb,) = g_m.nonlinear
+        assert fb.lanes_cost is None and fb.quad_rdim == 2
         assert not mm._lanes_eligible(fb, None, True)
         assert not mm._lanes_eligible(fb, None, False)
 
