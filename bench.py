@@ -12,12 +12,15 @@ measurements, full NGD iterations including the backtracking line search.
 The TPU run uses the lanes Pallas chain + quadrature kernels (the fast
 path; kernels/chain_lanes.py, kernels/quad_lanes.py).
 
-Operating point: B=1024/N=32.  Round-4 state: the iteration is two Pallas
+Operating point: B=1024/N=32.  Round-5 state: the iteration is two Pallas
 programs (kernels/fused_gradient.py + kernels/fused_trials.py at the
-probed full-row layouts, PERF.md sections 20/27) — measured 651.9k
-prob-iters/s at B=1024 and 160.4k at the legacy B=64 point (round 3:
-188.7k / 104.0k).  The legacy B=64 point (rounds 1-2 comparability) is
-also measured and printed to stderr.  The sandbox device shows two
+probed full-row layouts, PERF.md sections 20/27) with the measurement
+factor on the 29-node position-MARGINAL quadrature rule (PERF section
+33; the round-4 137-node full-state rule measured 640.4k in the same
+session where the marginal rule measured 833.0k).  Round-4 closed at
+651.9k prob-iters/s at B=1024 and 160.4k at the legacy B=64 point
+(round 3: 188.7k / 104.0k).  The legacy B=64 point (rounds 1-2
+comparability) is also measured and printed to stderr.  The sandbox device shows two
 performance modes (~1.5x apart for the same program — PERF.md section 5);
 treat cross-round absolute comparisons accordingly.  Run via
 scripts/bench_session.sh to execute the tests/device/ regression gates
