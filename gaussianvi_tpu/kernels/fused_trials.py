@@ -85,15 +85,22 @@ from .quad_lanes import _M_CHUNK
 #
 #   short chains (n*s*s < 2048, e.g. N=32 s=4): 58k admits cap=8 —
 #     B=1024 measured 648k prob-iters/s vs 286k at the old cap=3 budget;
-#   N=128-class (2048 <= n*s*s < 4096): the SEPARATE path wins every
-#     probed fused layout (28.7k vs 23.6-28.1k at cap 2-3) — keep the
-#     conservative budget, whose cap<2 outcome declines the kernel;
+#   N=128-class (2048 <= n*s*s < 4096): with the round-4 137-node rules
+#     the SEPARATE path won every probed fused layout (28.7k vs
+#     23.6-28.1k at cap 2-3), and the old 24,576 budget declined the
+#     kernel.  The round-5 MARGINAL rules (29 nodes at the same shapes,
+#     PERF section 33) shrink per_row ~2x, and the re-probe
+#     (scripts/r5_naxis.py) measured the fused path at cap=2 WINNING 50%
+#     (99.8k vs 66.4k prob-iters/s at B=256) — the budget is now 61,440
+#     (admits cap=2 for 29-node shapes; 137-node shapes land cap 2-3,
+#     within ~2% of their separate path per the round-4 probe);
 #   long chains (n*s*s >= 4096, e.g. N=256): 140k admits cap=3, which
 #     beats the separate path 30% (15.9k vs 12.2k) — the separate trial
 #     chain has degraded at these shapes, and riding the fused evaluator
-#     also keeps the section-14-accurate path.
+#     also keeps the section-14-accurate path.  (Do NOT raise further:
+#     cap=8 at N=256 per_row ~42k would exceed the physical VMEM.)
 _MAX_ROW_ELEMS_TRIALS = 58_000
-_MAX_ROW_ELEMS_TRIALS_MID = 24_576
+_MAX_ROW_ELEMS_TRIALS_MID = 61_440
 _MAX_ROW_ELEMS_TRIALS_LONG = 140_000
 
 
