@@ -89,15 +89,26 @@ class TestResume:
             graph, state, cfg, start_iteration=it, loop_state=loop
         )
 
-        np.testing.assert_array_equal(
-            np.asarray(final_res.mu), np.asarray(final_full.mu)
+        # Semantic exactness: the resumed trajectory IS the uninterrupted
+        # one.  The float tolerance is 1-2 ulps, NOT a numerical-drift
+        # allowance: the resumed run is a DIFFERENT jitted program
+        # (shorter scan, recompute-on-load of cov/fc), and XLA may fuse
+        # its arithmetic in a different order — observed as a single
+        # 1-ulp cost-entry difference when the marginal-rule shapes
+        # changed the einsum fusion.  Accepted-step indices (the discrete
+        # decisions) must still be IDENTICAL.
+        np.testing.assert_allclose(
+            np.asarray(final_res.mu), np.asarray(final_full.mu),
+            rtol=5e-14, atol=0,
         )
-        np.testing.assert_array_equal(
+        np.testing.assert_allclose(
             np.asarray(final_res.precision.diag),
             np.asarray(final_full.precision.diag),
+            rtol=5e-14, atol=0,
         )
-        np.testing.assert_array_equal(
-            np.asarray(hist_res.cost), np.asarray(hist_full.cost[7:])
+        np.testing.assert_allclose(
+            np.asarray(hist_res.cost), np.asarray(hist_full.cost[7:]),
+            rtol=5e-14, atol=0,
         )
         np.testing.assert_array_equal(
             np.asarray(hist_res.accepted_step),
